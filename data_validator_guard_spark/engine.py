@@ -1,0 +1,382 @@
+"""Rule compiler + executor: rulebook → fused DataFrame plans → verdicts + violations.
+
+Reference semantics being rebuilt (SURVEY.md §2.12, §3):
+- verdict = "no issues collected" per check
+  (`/root/reference/validation/general_validation.py:126-127`) — generalized to a
+  **verdicts DataFrame** ``(rule_id, partition, pass, n_rows, n_violations)``.
+- issues = violation rows collected per check and exported
+  (`general_validation.py:110-125`) — generalized to a **violations DataFrame**
+  ``(rule_id, partition, keys, detail)``.
+
+Execution strategy (the part the reference could not have — SURVEY.md §4):
+- **All row-level rules on a table fuse into ONE scan** (the single good idea
+  in the reference — `maganamed_validation.py:100-134` computes two checks in
+  one pass — applied universally). One job emits violations via a filtered
+  array-of-structs explode; one job computes every verdict counter in a single
+  ``groupBy(partition).agg(*all exprs)`` with map-side partial aggregation.
+- **unique** runs as a salted two-phase hash aggregation (north rule): phase 1
+  groups on (keys, salt) so a hot key's rows spread over many reducers, phase 2
+  merges the partial counts. Exact result, skew defused.
+- **foreign_key** is a broadcast left-anti join (`general_validation.py:94-108`
+  was a Python set difference).
+- **group_consistency** is an exact distinct-count per group — an explicit,
+  order-independent tightening of the reference's order-dependent
+  ``x == x.iloc[0]`` (`maganamed_validation.py:231-232`; SURVEY.md §7 hard pt 4).
+- **drift** is the engine's one pandas UDF (Arrow-batched, grouped) — see
+  :mod:`data_validator_guard_spark.operators.drift`.
+
+Catalyst handles predicate pushdown / column pruning / partial aggregation; the
+engine's job is only to emit a fusable declarative plan and to make the three
+decisions Catalyst cannot: fuse rules into one pass, broadcast dims, salt the
+uniqueness aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_validator_guard_spark.functions import is_blank, normalized
+from data_validator_guard_spark.rules import (
+    AGG_LEVEL_TYPES,
+    ROW_LEVEL_TYPES,
+    Rule,
+    RuleSuite,
+)
+
+VERDICT_COLS = ("rule_id", "partition", "pass", "n_rows", "n_violations")
+VIOLATION_COLS = ("rule_id", "partition", "keys", "detail")
+
+DEFAULT_N_SALTS = 64
+
+
+# ---------------------------------------------------------------- row level
+def _row_violation(rule: Rule) -> tuple[Column, Column]:
+    """Compile a row-level rule to (violation_condition, detail) columns."""
+    p = rule.params
+    t = rule.type
+    if t == "not_null":
+        c = F.col(rule.columns[0])
+        return c.isNull(), F.lit(f"{rule.columns[0]} is null")
+    if t == "not_blank":
+        return is_blank(rule.columns[0]), F.lit(f"{rule.columns[0]} is blank")
+    if t == "regex_match":
+        c = F.col(rule.columns[0])
+        cond = c.isNull() | ~c.rlike(p["pattern"])
+        return cond, F.concat(F.lit(f"{rule.columns[0]} !~ {p['pattern']}: "), F.coalesce(c.cast("string"), F.lit("NULL")))
+    if t == "no_regex_match":
+        c = F.col(rule.columns[0])
+        return c.isNotNull() & c.rlike(p["pattern"]), F.concat(
+            F.lit(f"{rule.columns[0]} ~ {p['pattern']}: "), c.cast("string")
+        )
+    if t == "allowed_values":
+        c = F.col(rule.columns[0])
+        norm = p.get("normalize", False)
+        cn = normalized(c) if norm else c
+        vals = [str(v).strip().upper() if norm else v for v in p["values"]]
+        cond = c.isNull() | ~cn.isin(vals)
+        return cond, F.concat(
+            F.lit(f"{rule.columns[0]} not in allowed set: "), F.coalesce(c.cast("string"), F.lit("NULL"))
+        )
+    if t == "min_max":
+        c = F.col(rule.columns[0])
+        lo, hi = p.get("lo"), p.get("hi")
+        cond = c.isNull()
+        if lo is not None:
+            cond = cond | (c < F.lit(lo))
+        if hi is not None:
+            cond = cond | (c > F.lit(hi))
+        return cond, F.concat(
+            F.lit(f"{rule.columns[0]} outside [{lo}, {hi}]: "), F.coalesce(c.cast("string"), F.lit("NULL"))
+        )
+    if t == "length_range":
+        c = F.length(F.col(rule.columns[0]).cast("string"))
+        lo, hi = p.get("lo"), p.get("hi")
+        cond = F.col(rule.columns[0]).isNull()
+        if lo is not None:
+            cond = cond | (c < F.lit(lo))
+        if hi is not None:
+            cond = cond | (c > F.lit(hi))
+        return cond, F.concat(F.lit(f"length({rule.columns[0]}) outside [{lo}, {hi}]: "), F.coalesce(c.cast("string"), F.lit("NULL")))
+    if t == "cross_column":
+        holds = F.expr(p["expr"])
+        return ~F.coalesce(holds, F.lit(False)), F.lit(f"violated: {p['expr']}")
+    if t == "completeness":
+        n = len(rule.columns)
+        filled = sum((~is_blank(c)).cast("int") for c in rule.columns)
+        frac = filled / F.lit(float(n))
+        thr = float(p.get("threshold", 0.8))
+        return frac < F.lit(thr), F.concat(
+            F.lit(f"completeness < {thr}: "), F.round(frac, 4).cast("string")
+        )
+    raise ValueError(f"not a row-level rule: {t}")
+
+
+def _agg_measures(rule: Rule) -> tuple[Column, Column]:
+    """Compile a table-level rule to (n_violations_expr, pass_expr) aggregate
+    columns evaluated inside the fused groupBy(partition) pass."""
+    p = rule.params
+    t = rule.type
+    if t == "null_rate_max":
+        blanks = F.sum(is_blank(rule.columns[0]).cast("bigint"))
+        rate = blanks / F.count(F.lit(1))
+        return blanks, rate <= F.lit(float(p["max_rate"]))
+    if t == "min_rows":
+        n = F.count(F.lit(1))
+        ok = n >= F.lit(int(p["n"]))
+        return F.when(ok, F.lit(0)).otherwise(F.lit(1)).cast("bigint"), ok
+    if t == "cardinality_range":
+        exact = p.get("exact", False)
+        card = (
+            F.count_distinct(F.col(rule.columns[0]))
+            if exact
+            else F.approx_count_distinct(F.col(rule.columns[0]), rsd=p.get("rsd", 0.01))
+        )
+        lo = int(p.get("lo", 0))
+        hi = p.get("hi")
+        ok = card >= F.lit(lo)
+        if hi is not None:
+            ok = ok & (card <= F.lit(int(hi)))
+        return F.when(ok, F.lit(0)).otherwise(F.lit(1)).cast("bigint"), ok
+    raise ValueError(f"not an agg-level rule: {t}")
+
+
+# ---------------------------------------------------------------- plan level
+def _unique_plan(
+    df: DataFrame, rule: Rule, part: Column, n_salts: int
+) -> tuple[DataFrame, DataFrame]:
+    """Salted two-phase duplicate detection (SURVEY.md §4.3; north rule).
+
+    Returns (violations, per-partition counts ``(partition, n_violations)``).
+    ``n_violations`` counts every row in a duplicate group, matching the
+    reference's ``duplicated(keep=False)`` (`general_validation.py:19-27`).
+    """
+    norm = rule.type == "unique_normalized"
+    keyexprs = [
+        (normalized(c) if norm else F.col(c)).alias(f"__k{i}")
+        for i, c in enumerate(rule.columns)
+    ]
+    keynames = [f"__k{i}" for i in range(len(rule.columns))]
+    # Salt from the physical input split: rows of a hot key scatter across
+    # salts in phase 1, then phase 2 merges tiny partial counts per key.
+    salted = df.select(part.alias("partition"), *keyexprs).withColumn(
+        "__salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
+    )
+    phase1 = salted.groupBy("partition", *keynames, "__salt").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    dup_keys = (
+        phase1.groupBy("partition", *keynames)
+        .agg(F.sum("__c").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    violations = dup_keys.select(
+        F.lit(rule.rule_id).alias("rule_id"),
+        F.col("partition"),
+        F.concat_ws("|", *[F.col(k).cast("string") for k in keynames]).alias("keys"),
+        F.concat(F.lit("duplicate key x"), F.col("n").cast("string")).alias("detail"),
+    )
+    counts = dup_keys.groupBy("partition").agg(F.sum("n").alias("n_violations"))
+    return violations, counts
+
+
+def _foreign_key_plan(
+    df: DataFrame, rule: Rule, part: Column, keys: Column
+) -> tuple[DataFrame, DataFrame]:
+    """Broadcast left-anti referential check (`general_validation.py:94-108`)."""
+    dim: DataFrame = rule.params["dim"]
+    dim_cols = list(rule.params.get("dim_columns", rule.columns))
+    sel = df.select(
+        part.alias("partition"), keys.alias("keys"), *[F.col(c) for c in rule.columns]
+    )
+    cond = [sel[c] == dim[d] for c, d in zip(rule.columns, dim_cols)]
+    missing = sel.join(F.broadcast(dim), cond, "left_anti")
+    violations = missing.select(
+        F.lit(rule.rule_id).alias("rule_id"),
+        F.col("partition"),
+        F.col("keys"),
+        F.concat(
+            F.lit("unknown value in reference: "),
+            F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in rule.columns]),
+        ).alias("detail"),
+    )
+    counts = missing.groupBy("partition").agg(F.count(F.lit(1)).alias("n_violations"))
+    return violations, counts
+
+
+def _group_consistency_plan(
+    df: DataFrame, rule: Rule, part: Column
+) -> tuple[DataFrame, DataFrame]:
+    """Within-group single-value check (rule 11, `maganamed_validation.py:216-248`).
+
+    Order-independent tightening of the reference's first-value comparison: a
+    group violates iff it holds >1 distinct non-null value of the column.
+    """
+    group_col = rule.params["group_by"]
+    value_col = rule.columns[0]
+    grouped = (
+        df.groupBy(part.alias("partition"), F.col(group_col))
+        .agg(F.count_distinct(F.col(value_col)).alias("__nd"))
+        .filter(F.col("__nd") > 1)
+    )
+    violations = grouped.select(
+        F.lit(rule.rule_id).alias("rule_id"),
+        F.col("partition"),
+        F.col(group_col).cast("string").alias("keys"),
+        F.concat(
+            F.lit(f"{value_col} has "), F.col("__nd").cast("string"), F.lit(" distinct values in group")
+        ).alias("detail"),
+    )
+    counts = grouped.groupBy("partition").agg(F.count(F.lit(1)).alias("n_violations"))
+    return violations, counts
+
+
+# ---------------------------------------------------------------- executor
+def validate(
+    df: DataFrame,
+    suite: RuleSuite,
+    n_salts: int = DEFAULT_N_SALTS,
+) -> tuple[DataFrame, DataFrame]:
+    """Run every rule in ``suite`` over ``df``.
+
+    Returns ``(verdicts, violations)``:
+    - verdicts: ``rule_id, partition, pass, n_rows, n_violations`` — one row
+      per (rule, partition value).
+    - violations: ``rule_id, partition, keys, detail`` — offending rows/keys.
+
+    Both are lazy DataFrames; nothing is collected here.
+    """
+    spark = df.sparkSession
+    part = F.expr(suite.partition_by).cast("string")
+    keys = (
+        F.concat_ws("|", *[F.col(k).cast("string") for k in suite.key_cols])
+        if suite.key_cols
+        else F.lit("")
+    )
+
+    row_rules = [r for r in suite.rules if r.type in ROW_LEVEL_TYPES]
+    agg_rules = [r for r in suite.rules if r.type in AGG_LEVEL_TYPES]
+    unique_rules = [r for r in suite.rules if r.type in ("unique", "unique_normalized")]
+    fk_rules = [r for r in suite.rules if r.type == "foreign_key"]
+    gc_rules = [r for r in suite.rules if r.type == "group_consistency"]
+    drift_rules = [r for r in suite.rules if r.type == "drift"]
+
+    compiled_rows = [(r, *_row_violation(r)) for r in row_rules]
+
+    # ---- fused verdict aggregation: ONE scan computes n_rows, every
+    # row-rule's violation count, and every table-level measure, per partition.
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for r, cond, _ in compiled_rows:
+        aggs.append(F.sum(cond.cast("bigint")).alias(f"__v_{r.rule_id}"))
+    for r in agg_rules:
+        n_viol, ok = _agg_measures(r)
+        aggs.append(n_viol.alias(f"__v_{r.rule_id}"))
+        aggs.append(ok.alias(f"__p_{r.rule_id}"))
+    wide = df.groupBy(part.alias("partition")).agg(*aggs)
+
+    verdict_structs: list[Column] = []
+    for r, _, _ in compiled_rows:
+        v = F.col(f"__v_{r.rule_id}")
+        verdict_structs.append(
+            F.struct(
+                F.lit(r.rule_id).alias("rule_id"),
+                (v == 0).alias("pass"),
+                F.col("__n_rows").alias("n_rows"),
+                v.alias("n_violations"),
+            )
+        )
+    for r in agg_rules:
+        verdict_structs.append(
+            F.struct(
+                F.lit(r.rule_id).alias("rule_id"),
+                F.col(f"__p_{r.rule_id}").alias("pass"),
+                F.col("__n_rows").alias("n_rows"),
+                F.col(f"__v_{r.rule_id}").cast("bigint").alias("n_violations"),
+            )
+        )
+
+    verdict_parts: list[DataFrame] = []
+    if verdict_structs:
+        verdict_parts.append(
+            wide.select(
+                F.col("partition"), F.explode(F.array(*verdict_structs)).alias("v")
+            ).select("v.rule_id", "partition", "v.pass", "v.n_rows", "v.n_violations")
+        )
+
+    # partition totals reused by plan-level verdicts (no extra scan of df).
+    totals = wide.select("partition", F.col("__n_rows").alias("n_rows"))
+
+    violation_parts: list[DataFrame] = []
+
+    # ---- fused violation emission: one scan, array-of-structs explode.
+    if compiled_rows:
+        entries = [
+            F.when(
+                cond,
+                F.struct(F.lit(r.rule_id).alias("rule_id"), detail.cast("string").alias("detail")),
+            )
+            for r, cond, detail in compiled_rows
+        ]
+        arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
+        violation_parts.append(
+            df.select(part.alias("partition"), keys.alias("keys"), F.explode(arr).alias("v"))
+            .select("v.rule_id", "partition", "keys", "v.detail")
+        )
+
+    def _plan_verdict(rule: Rule, counts: DataFrame) -> DataFrame:
+        joined = totals.join(counts, "partition", "left").select(
+            F.lit(rule.rule_id).alias("rule_id"),
+            F.col("partition"),
+            (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("pass"),
+            F.col("n_rows"),
+            F.coalesce(F.col("n_violations"), F.lit(0)).cast("bigint").alias("n_violations"),
+        )
+        return joined
+
+    for r in unique_rules:
+        viol, counts = _unique_plan(df, r, part, n_salts)
+        violation_parts.append(viol)
+        verdict_parts.append(_plan_verdict(r, counts))
+    for r in fk_rules:
+        viol, counts = _foreign_key_plan(df, r, part, keys)
+        violation_parts.append(viol)
+        verdict_parts.append(_plan_verdict(r, counts))
+    for r in gc_rules:
+        viol, counts = _group_consistency_plan(df, r, part)
+        violation_parts.append(viol)
+        verdict_parts.append(_plan_verdict(r, counts))
+    for r in drift_rules:
+        from data_validator_guard_spark.operators.drift import drift_plan
+
+        viol, counts = drift_plan(df, r, part)
+        violation_parts.append(viol)
+        verdict_parts.append(_plan_verdict(r, counts))
+
+    empty_verdicts = spark.createDataFrame(
+        [], "rule_id string, partition string, pass boolean, n_rows bigint, n_violations bigint"
+    )
+    empty_violations = spark.createDataFrame(
+        [], "rule_id string, partition string, keys string, detail string"
+    )
+    verdicts = _union_all(verdict_parts, empty_verdicts)
+    violations = _union_all(violation_parts, empty_violations)
+    return verdicts, violations
+
+
+def _union_all(parts: Iterable[DataFrame], empty: DataFrame) -> DataFrame:
+    out = empty
+    for p in parts:
+        out = out.unionByName(p.select(*empty.columns))
+    return out
+
+
+def report(verdicts: DataFrame, violations: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Canonically ordered small-report form (the reference sorts its issue
+    export by (issue_type, id), `general_validation.py:119`). Only for final
+    small outputs — never applied on the large path."""
+    return (
+        verdicts.orderBy("rule_id", "partition"),
+        violations.orderBy("rule_id", "partition", "keys", "detail"),
+    )

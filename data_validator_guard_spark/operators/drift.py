@@ -1,0 +1,170 @@
+"""Distribution-drift check — the engine's single pandas UDF (SURVEY.md §2.10).
+
+No ancestor exists in the reference (it has no statistical checks); the north
+rule adds it: per-group histograms of a numeric measure compared to a baseline
+snapshot with PSI and chi-square computed in an Arrow-batched grouped pandas
+UDF (`applyInPandas`), never per-row Python.
+
+Determinism contract (SURVEY.md §7 hard point 2): bucket edges are fixed
+constants supplied by the caller — never derived from the data — and the
+smoothing epsilon is a fixed constant, so results are reproducible and
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_validator_guard_spark.rules import Rule
+
+EPS = 1e-6  # fixed smoothing constant on proportions
+
+
+def bucketize(value: Column, edges: Sequence[float]) -> Column:
+    """Map a numeric column to a fixed-edge bucket index.
+
+    Bucket i covers [edges[i], edges[i+1]); values below edges[0] map to -1,
+    values >= edges[-1] map to len(edges)-1. Edges are constants → the
+    expression folds into whole-stage codegen.
+    """
+    expr = F.lit(len(edges) - 1)
+    for i in range(len(edges) - 1, 0, -1):
+        expr = F.when(value < F.lit(float(edges[i])), F.lit(i - 1)).otherwise(expr)
+    expr = F.when(value < F.lit(float(edges[0])), F.lit(-1)).otherwise(expr)
+    return expr.cast("int")
+
+
+def histogram(
+    df: DataFrame, group_col: str, value: Column, edges: Sequence[float]
+) -> DataFrame:
+    """Fixed-bucket histogram: one hash aggregation, partial+final."""
+    return (
+        df.groupBy(F.col(group_col).alias("grp"), bucketize(value, edges).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def psi_report(
+    current: DataFrame,
+    baseline: DataFrame,
+    edges: Sequence[float],
+) -> DataFrame:
+    """PSI + chi-square per group from two histograms (grp, bucket, n).
+
+    Output: ``grp string, psi double, chi2 double, n_cur bigint, n_base bigint``.
+    The heavy work (the histograms) stays JVM-side; only the tiny per-group
+    bucket vectors cross into pandas via Arrow.
+    """
+    joined = (
+        current.select("grp", "bucket", F.col("n").alias("n_cur"))
+        .join(
+            baseline.select("grp", "bucket", F.col("n").alias("n_base")),
+            ["grp", "bucket"],
+            "full_outer",
+        )
+        .fillna(0, subset=["n_cur", "n_base"])
+    )
+    n_buckets = len(edges)
+
+    def _stat(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = pdf["grp"].iloc[0]
+        tot_c = float(pdf["n_cur"].sum())
+        tot_b = float(pdf["n_base"].sum())
+        psi = 0.0
+        chi2 = 0.0
+        # iterate the full fixed bucket range so absent buckets contribute
+        # their smoothed epsilon mass deterministically.
+        by_bucket = pdf.set_index("bucket")
+        for b in range(-1, n_buckets):
+            nc = float(by_bucket["n_cur"].get(b, 0.0))
+            nb = float(by_bucket["n_base"].get(b, 0.0))
+            p = nc / tot_c + EPS if tot_c > 0 else EPS
+            q = nb / tot_b + EPS if tot_b > 0 else EPS
+            psi += (p - q) * math.log(p / q)
+            if tot_b > 0 and tot_c > 0:
+                e = nb * tot_c / tot_b
+                if e > 0:
+                    chi2 += (nc - e) ** 2 / e
+        return pd.DataFrame(
+            {
+                "grp": [grp],
+                "psi": [psi],
+                "chi2": [chi2],
+                "n_cur": [int(tot_c)],
+                "n_base": [int(tot_b)],
+            }
+        )
+
+    return joined.groupBy("grp").applyInPandas(
+        _stat, "grp string, psi double, chi2 double, n_cur bigint, n_base bigint"
+    )
+
+
+def drift_plan(
+    df: DataFrame, rule: Rule, part: Column
+) -> tuple[DataFrame, DataFrame]:
+    """Engine integration: rule params are ``group_by`` (column), ``value``
+    (SQL expr string, e.g. ``length(content)``), ``edges`` (fixed constants),
+    ``baseline`` (DataFrame grp/bucket/n), ``threshold`` (max PSI).
+
+    Returns (violations, per-partition violation counts). Partition for drift
+    verdicts is the group column itself when ``partition_by`` is constant.
+    """
+    p = rule.params
+    edges = p["edges"]
+    group_col = p["group_by"]
+    value = F.expr(p["value"])
+    threshold = float(p.get("threshold", 0.2))
+    baseline: DataFrame = p["baseline"]
+
+    cur = df.groupBy(
+        part.alias("partition"), F.col(group_col).alias("grp"), bucketize(value, edges).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # baseline is (grp, bucket, n) — constant across partitions; PSI runs per
+    # (partition, group) by carrying partition through the group key.
+    joined = (
+        cur.select("partition", "grp", "bucket", F.col("n").alias("n_cur"))
+        .join(
+            baseline.select("grp", "bucket", F.col("n").alias("n_base")),
+            ["grp", "bucket"],
+            "full_outer",
+        )
+        .fillna(0, subset=["n_cur", "n_base"])
+        .withColumn("partition", F.coalesce(F.col("partition"), F.lit("__all__")))
+    )
+    n_buckets = len(edges)
+
+    def _stat(pdf: pd.DataFrame) -> pd.DataFrame:
+        partv = pdf["partition"].iloc[0]
+        grp = pdf["grp"].iloc[0]
+        tot_c = float(pdf["n_cur"].sum())
+        tot_b = float(pdf["n_base"].sum())
+        psi = 0.0
+        by_bucket = pdf.groupby("bucket")[["n_cur", "n_base"]].sum()
+        for b in range(-1, n_buckets):
+            nc = float(by_bucket["n_cur"].get(b, 0.0))
+            nb = float(by_bucket["n_base"].get(b, 0.0))
+            p_ = nc / tot_c + EPS if tot_c > 0 else EPS
+            q_ = nb / tot_b + EPS if tot_b > 0 else EPS
+            psi += (p_ - q_) * math.log(p_ / q_)
+        return pd.DataFrame({"partition": [partv], "grp": [grp], "psi": [psi]})
+
+    per_group = joined.groupBy("partition", "grp").applyInPandas(
+        _stat, "partition string, grp string, psi double"
+    )
+    drifted = per_group.filter(F.col("psi") > F.lit(threshold))
+    violations = drifted.select(
+        F.lit(rule.rule_id).alias("rule_id"),
+        F.col("partition"),
+        F.col("grp").alias("keys"),
+        F.concat(F.lit("psi="), F.round(F.col("psi"), 6).cast("string"), F.lit(f" > {threshold}")).alias(
+            "detail"
+        ),
+    )
+    counts = drifted.groupBy("partition").agg(F.count(F.lit(1)).alias("n_violations"))
+    return violations, counts

@@ -1,0 +1,111 @@
+"""Declarative rule model — the engine's "rulebook".
+
+The reference drives validation from hard-coded check methods
+(`/root/reference/validation/general_validation.py`,
+`maganamed_validation.py`) and cleaning from a CSV rulebook
+(`cleaning/general_id_cleaning.py:90-149`). This engine replaces both with one
+declarative spec: a :class:`Rule` names *what* to check; the compiler in
+:mod:`data_validator_guard_spark.engine` decides *how* (fused column
+expressions, broadcast anti-joins, salted two-phase aggregation).
+
+Rule types and their reference ancestors (SURVEY.md §2.12):
+
+==================  =========================================================
+type                semantics / ancestor
+==================  =========================================================
+not_null            column must not be NULL (P6)
+not_blank           column must not be NULL/empty-after-trim
+regex_match         column must match ``params["pattern"]``
+                    (general_validation.py:70-92 ID pattern check)
+no_regex_match      column must NOT match (negative filter, P3)
+allowed_values      column ∈ literal set (general_validation.py:57-68 typo
+                    check; P4)
+min_max             lo <= column <= hi
+length_range        lo <= length(column) <= hi
+cross_column        arbitrary boolean SQL expr over the row must hold
+                    (rule 1 / rule 8 dict-equality checks, J5)
+completeness        >= ``threshold`` fraction of ``columns`` non-blank per
+                    row (rule 9, maganamed_validation.py:193-213, A7)
+unique              no duplicate ``columns`` tuples — salted two-phase agg
+                    (general_validation.py:19-27, A1; north rule)
+unique_normalized   unique over upper(trim(col)) (A2)
+foreign_key         ``columns`` tuples must exist in ``params["dim"]``
+                    (general_validation.py:94-108, J4) — broadcast anti-join
+group_consistency   within each ``params["group_by"]`` group the column has
+                    exactly one distinct non-null value (rule 11, A8)
+null_rate_max       table-level: fraction of blanks <= ``params["max_rate"]``
+min_rows            table-level: partition must contain >= ``params["n"]`` rows
+cardinality_range   table-level: approx distinct count of column within
+                    [lo, hi] (A6 at scale → approx_count_distinct)
+drift               distribution drift vs a baseline histogram (PSI /
+                    chi-square), the engine's one pandas UDF (§2.10)
+==================  =========================================================
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+ROW_LEVEL_TYPES = frozenset(
+    {
+        "not_null",
+        "not_blank",
+        "regex_match",
+        "no_regex_match",
+        "allowed_values",
+        "min_max",
+        "length_range",
+        "cross_column",
+        "completeness",
+    }
+)
+AGG_LEVEL_TYPES = frozenset({"null_rate_max", "min_rows", "cardinality_range"})
+PLAN_LEVEL_TYPES = frozenset(
+    {"unique", "unique_normalized", "foreign_key", "group_consistency", "drift"}
+)
+ALL_TYPES = ROW_LEVEL_TYPES | AGG_LEVEL_TYPES | PLAN_LEVEL_TYPES
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One named check. ``columns`` are the checked columns; ``params`` carry
+    type-specific arguments (pattern, values, lo/hi, dim, group_by, ...)."""
+
+    rule_id: str
+    type: str
+    columns: tuple[str, ...] = ()
+    params: Mapping[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.type not in ALL_TYPES:
+            raise ValueError(f"unknown rule type {self.type!r}; known: {sorted(ALL_TYPES)}")
+        if isinstance(self.columns, str):  # ergonomics: allow a single name
+            object.__setattr__(self, "columns", (self.columns,))
+        else:
+            object.__setattr__(self, "columns", tuple(self.columns))
+
+
+@dataclass(frozen=True)
+class RuleSuite:
+    """All rules to run over one table, plus the reporting contract.
+
+    ``partition_by``: SQL expression whose value groups verdicts (the
+    reference's per-table verdict generalized to per-partition, per the north
+    rule). ``key_cols``: columns identifying a row in violation reports
+    (the reference's "offending keys").
+    """
+
+    name: str
+    rules: Sequence[Rule]
+    partition_by: str = "'__all__'"
+    key_cols: tuple[str, ...] = ()
+
+    def __post_init__(self) -> None:
+        object.__setattr__(self, "rules", tuple(self.rules))
+        object.__setattr__(self, "key_cols", tuple(self.key_cols))
+        seen: set[str] = set()
+        for r in self.rules:
+            if r.rule_id in seen:
+                raise ValueError(f"duplicate rule_id {r.rule_id!r} in suite {self.name!r}")
+            seen.add(r.rule_id)

@@ -1,0 +1,164 @@
+"""Rule-engine unit tests on planted-defect fixtures.
+
+The mock table ports the *data* of the reference's only fixture
+(`/root/reference/validation/testing/mock_data.py:3-28` +
+`execute_test.py:4`): known duplicate ids, suffix variants, and city typos
+with known expected violation counts (FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_validator_guard_spark.engine import report, validate
+from data_validator_guard_spark.rules import Rule, RuleSuite
+
+MOCK_ROWS = [
+    ("123", "Alice", "New York"),
+    ("456", "Bob", "London"),
+    ("789", "Charlie", "Paris"),
+    ("123", "David", "New York"),      # exact dup id
+    ("xyz", "Eve", "Londen"),          # typo city
+    ("xyz", "Frank", "London"),        # exact dup id
+    ("abc", "Grace", "Paris"),
+    ("a-b-c", "Heidi", "Pariss"),      # typo city
+    ("abc_v", "Ivan", "London"),       # suffix variant of abc
+    ("789", "Judy", "Londn"),          # dup id + typo city
+    ("jkl", "Ken", "Pari"),            # typo city
+]
+ALLOWED_CITIES = ["New York", "London", "Paris"]
+
+
+@pytest.fixture(scope="module")
+def mock_df(spark):
+    return spark.createDataFrame(MOCK_ROWS, "id string, name string, city string")
+
+
+def _verdict(verdicts, rule_id):
+    rows = [r for r in verdicts.collect() if r.rule_id == rule_id]
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_unique_detects_planted_duplicates(spark, mock_df):
+    suite = RuleSuite("mock", [Rule("id_unique", "unique", ("id",))], key_cols=("id", "name"))
+    verdicts, violations = validate(mock_df, suite)
+    v = _verdict(verdicts, "id_unique")
+    # 3 duplicated keys (123, xyz, 789), each with 2 rows = 6 offending rows,
+    # matching the reference's duplicated(keep=False) count.
+    assert v["pass"] is False
+    assert v.n_rows == len(MOCK_ROWS)
+    assert v.n_violations == 6
+    keys = sorted(r.keys for r in violations.collect())
+    assert keys == ["123", "789", "xyz"]
+
+
+def test_allowed_values_detects_typos(spark, mock_df):
+    suite = RuleSuite(
+        "mock",
+        [Rule("city_allowed", "allowed_values", ("city",), {"values": ALLOWED_CITIES})],
+        key_cols=("id",),
+    )
+    verdicts, violations = validate(mock_df, suite)
+    v = _verdict(verdicts, "city_allowed")
+    assert v.n_violations == 4  # Londen, Pariss, Londn, Pari
+    details = [r.detail for r in violations.collect()]
+    assert all("not in allowed set" in d for d in details)
+
+
+def test_suffix_normalized_unique(spark, mock_df):
+    # abc / abc_v collapse under suffix normalization; a-b-c does not (the
+    # reference's logical-variant family needs id normalization beyond this
+    # engine's normalized-unique; we assert the v-suffix family only, cf.
+    # maganamed_validation.py:136-155).
+    from data_validator_guard_spark.functions import suffix_normalized
+
+    df = mock_df.withColumn("id_norm", suffix_normalized("id"))
+    suite = RuleSuite("mock", [Rule("idn_unique", "unique", ("id_norm",))], key_cols=("id",))
+    verdicts, violations = validate(df, suite)
+    keys = sorted(r.keys for r in violations.collect())
+    assert "abc" in keys  # abc + abc_v
+    v = _verdict(verdicts, "idn_unique")
+    assert v.n_violations == 8  # 123x2, xyzx2, 789x2, abc+abc_v
+
+
+def test_foreign_key_and_row_rules_fused(spark, mock_df):
+    dim = spark.createDataFrame([(c,) for c in ALLOWED_CITIES + ["Londen"]], "city string")
+    suite = RuleSuite(
+        "mock",
+        [
+            Rule("city_fk", "foreign_key", ("city",), {"dim": dim}),
+            Rule("id_pattern", "regex_match", ("id",), {"pattern": r"^[a-z0-9]{3}$"}),
+            Rule("name_not_blank", "not_blank", ("name",)),
+            Rule("min_rows", "min_rows", (), {"n": 5}),
+        ],
+        key_cols=("id",),
+    )
+    verdicts, violations = validate(mock_df, suite)
+    assert _verdict(verdicts, "city_fk").n_violations == 3  # Pariss, Londn, Pari
+    assert _verdict(verdicts, "id_pattern").n_violations == 2  # a-b-c, abc_v
+    assert _verdict(verdicts, "name_not_blank").n_violations == 0
+    assert _verdict(verdicts, "min_rows")["pass"] is True
+
+
+def test_group_consistency(spark):
+    df = spark.createDataFrame(
+        [
+            ("p1", "depression"), ("p1", "depression"),
+            ("p2", "anxiety"), ("p2", "bipolar"),     # inconsistent group
+            ("p3", "ocd"),
+        ],
+        "pid string, diagnosis string",
+    )
+    suite = RuleSuite(
+        "diag",
+        [Rule("diag_stable", "group_consistency", ("diagnosis",), {"group_by": "pid"})],
+        key_cols=("pid",),
+    )
+    verdicts, violations = validate(df, suite)
+    v = _verdict(verdicts, "diag_stable")
+    assert v["pass"] is False and v.n_violations == 1
+    assert violations.collect()[0].keys == "p2"
+
+
+def test_completeness(spark):
+    df = spark.createDataFrame(
+        [
+            ("p1", "a", "b", "c", "d", "e"),   # 100%
+            ("p2", "a", None, "", "d", "e"),   # 60% -> violation at 0.8
+            ("p3", "a", "b", "c", "d", None),  # 80% -> pass
+        ],
+        "pid string, q1 string, q2 string, q3 string, q4 string, q5 string",
+    )
+    suite = RuleSuite(
+        "saq",
+        [Rule("q_complete", "completeness", ("q1", "q2", "q3", "q4", "q5"), {"threshold": 0.8})],
+        key_cols=("pid",),
+    )
+    verdicts, violations = validate(df, suite)
+    assert _verdict(verdicts, "q_complete").n_violations == 1
+    assert violations.collect()[0].keys == "p2"
+
+
+def test_partitioned_verdicts(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", "x"), ("b", "y"), ("b", "z")], "grp string, v string"
+    )
+    suite = RuleSuite("p", [Rule("v_not_null", "not_null", ("v",))], partition_by="grp")
+    verdicts, _ = validate(df, suite)
+    got = {r.partition: (r["pass"], r.n_rows, r.n_violations) for r in verdicts.collect()}
+    assert got == {"a": (False, 2, 1), "b": (True, 2, 0)}
+
+
+def test_report_ordering(spark, mock_df):
+    suite = RuleSuite(
+        "mock",
+        [
+            Rule("id_unique", "unique", ("id",)),
+            Rule("city_allowed", "allowed_values", ("city",), {"values": ALLOWED_CITIES}),
+        ],
+        key_cols=("id",),
+    )
+    verdicts, violations = report(*validate(mock_df, suite))
+    rv = [r.rule_id for r in verdicts.collect()]
+    assert rv == sorted(rv)
