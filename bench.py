@@ -1,0 +1,108 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+``{"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ..., ...}``
+
+Two workload groups:
+- testdata queries (the oracle-checked operator set, run at the bench sf dir);
+- the flagship full-suite validation over a deterministically generated
+  synthetic source-code table (SYNTH_ROWS rows, hot-repo skew) — this is the
+  north-rule workload, and the basis of the rows/sec headline.
+
+Forcing strategy: ``df.write.format("noop")`` — full materialization of every
+operator with no sink cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_validator_guard_spark.session import get_session  # noqa: E402
+
+SYNTH_ROWS = int(os.environ.get("DVG_BENCH_SYNTH_ROWS", "2000000"))
+
+HEADLINE = [
+    "verdicts_documents",
+    "violations_documents",
+    "stats_documents",
+    "duplicate_event_keys",
+    "fk_violations_lang",
+    "group_consistency_users",
+    "pricing_summary",
+    "revenue_by_nation",
+    "event_types_per_user",
+    "top3_orders_per_customer",
+    "days_from_signup",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_session(
+        "dvg-bench",
+        master=f"local[{cpus}]",
+        extra_confs={"spark.sql.shuffle.partitions": str(max(cpus, 16))},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from data_validator_guard_spark.queries import QUERIES
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.suites import source_code_suite
+    from data_validator_guard_spark.synth import source_code_table
+
+    # warm-up: JVM/codegen paths
+    _force(spark.range(1000000).selectExpr("sum(id) as s"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # north-rule workload: full suite over the synthetic source-code table.
+    # The table is materialized to parquet once (the engine's contract is a
+    # columnar table scan, per BASELINE.json input_hint) so the measurement is
+    # validation throughput, not generation cost.
+    synth_path = f"/tmp/dvg_bench/synth_{SYNTH_ROWS}.parquet"
+    if not os.path.exists(synth_path):
+        source_code_table(spark, SYNTH_ROWS, num_partitions=cpus * 2).write.mode(
+            "overwrite"
+        ).parquet(synth_path)
+    src = spark.read.parquet(synth_path)
+    suite = source_code_suite(spark)
+    t0 = time.perf_counter()
+    verdicts, violations = validate(src, suite)
+    _force(verdicts)
+    _force(violations)
+    validate_sec = time.perf_counter() - t0
+    timings["validate_synth"] = round(validate_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline queries + full-suite validation wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "synth_rows": SYNTH_ROWS,
+        "validated_rows_per_sec": round(SYNTH_ROWS / validate_sec, 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

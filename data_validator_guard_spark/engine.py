@@ -9,34 +9,44 @@ Reference semantics being rebuilt (SURVEY.md §2.12, §3):
   ``(rule_id, partition, keys, detail)``.
 
 Execution strategy (the part the reference could not have — SURVEY.md §4):
-- **All row-level rules on a table fuse into ONE scan** (the single good idea
-  in the reference — `maganamed_validation.py:100-134` computes two checks in
-  one pass — applied universally). One job emits violations via a filtered
-  array-of-structs explode; one job computes every verdict counter in a single
-  ``groupBy(partition).agg(*all exprs)`` with map-side partial aggregation.
-- **unique** runs as a salted two-phase hash aggregation (north rule): phase 1
-  groups on (keys, salt) so a hot key's rows spread over many reducers, phase 2
-  merges the partial counts. Exact result, skew defused.
-- **foreign_key** is a broadcast left-anti join (`general_validation.py:94-108`
-  was a Python set difference).
-- **group_consistency** is an exact distinct-count per group — an explicit,
-  order-independent tightening of the reference's order-dependent
-  ``x == x.iloc[0]`` (`maganamed_validation.py:231-232`; SURVEY.md §7 hard pt 4).
-- **drift** is the engine's one pandas UDF (Arrow-batched, grouped) — see
-  :mod:`data_validator_guard_spark.operators.drift`.
 
-Catalyst handles predicate pushdown / column pruning / partial aggregation; the
-engine's job is only to emit a fusable declarative plan and to make the three
-decisions Catalyst cannot: fuse rules into one pass, broadcast dims, salt the
-uniqueness aggregation.
+1. **One pruned totals scan.** ``groupBy(partition).agg(n_rows, *table-level
+   measures)`` — Catalyst prunes the read down to the partition expression +
+   the few columns table-level rules touch (never ``content`` unless a rule
+   needs it).
+2. **One violation scan.** Every row-level rule on the table fuses into a
+   single pass (the one good idea in the reference —
+   `maganamed_validation.py:100-134` fuses two checks into one scan — applied
+   universally): an array-of-structs ``filter``+``explode`` emits all
+   violating (rule, row) pairs in one whole-stage-codegen stage.
+3. **Verdict counters re-aggregate the violations union.** unique /
+   foreign_key / group_consistency / drift each contribute a *weighted*
+   violations fragment (weight = offending-row count per emitted key); the
+   verdicts join per-(rule, partition) weight sums against the totals scan.
+   Optionally the union is persisted, but measured on local[32] the cache
+   materialization costs more than recomputing the fused subplans — callers
+   that sink violations should derive verdicts from the stored result.
+
+Operator choices:
+- **unique**: salted two-phase hash aggregation (north rule): phase 1 groups
+  on (keys, salt) so a hot key's rows spread over many reducers, phase 2
+  merges partial counts. Exact result, skew defused.
+- **foreign_key**: broadcast left-anti join (`general_validation.py:94-108`
+  was a Python set difference).
+- **group_consistency**: exact distinct-count per group — an explicit,
+  order-independent tightening of the reference's order-dependent
+  ``x == x.iloc[0]`` (`maganamed_validation.py:231-232`; SURVEY.md §7 hard 4).
+- **drift**: the engine's one pandas UDF (Arrow-batched, grouped) — see
+  :mod:`data_validator_guard_spark.operators.drift`.
 """
 
 from __future__ import annotations
 
 from typing import Iterable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from data_validator_guard_spark.functions import is_blank, normalized
 from data_validator_guard_spark.rules import (
@@ -65,7 +75,10 @@ def _row_violation(rule: Rule) -> tuple[Column, Column]:
     if t == "regex_match":
         c = F.col(rule.columns[0])
         cond = c.isNull() | ~c.rlike(p["pattern"])
-        return cond, F.concat(F.lit(f"{rule.columns[0]} !~ {p['pattern']}: "), F.coalesce(c.cast("string"), F.lit("NULL")))
+        return cond, F.concat(
+            F.lit(f"{rule.columns[0]} !~ {p['pattern']}: "),
+            F.coalesce(c.cast("string"), F.lit("NULL")),
+        )
     if t == "no_regex_match":
         c = F.col(rule.columns[0])
         return c.isNotNull() & c.rlike(p["pattern"]), F.concat(
@@ -78,7 +91,8 @@ def _row_violation(rule: Rule) -> tuple[Column, Column]:
         vals = [str(v).strip().upper() if norm else v for v in p["values"]]
         cond = c.isNull() | ~cn.isin(vals)
         return cond, F.concat(
-            F.lit(f"{rule.columns[0]} not in allowed set: "), F.coalesce(c.cast("string"), F.lit("NULL"))
+            F.lit(f"{rule.columns[0]} not in allowed set: "),
+            F.coalesce(c.cast("string"), F.lit("NULL")),
         )
     if t == "min_max":
         c = F.col(rule.columns[0])
@@ -89,7 +103,8 @@ def _row_violation(rule: Rule) -> tuple[Column, Column]:
         if hi is not None:
             cond = cond | (c > F.lit(hi))
         return cond, F.concat(
-            F.lit(f"{rule.columns[0]} outside [{lo}, {hi}]: "), F.coalesce(c.cast("string"), F.lit("NULL"))
+            F.lit(f"{rule.columns[0]} outside [{lo}, {hi}]: "),
+            F.coalesce(c.cast("string"), F.lit("NULL")),
         )
     if t == "length_range":
         c = F.length(F.col(rule.columns[0]).cast("string"))
@@ -99,7 +114,10 @@ def _row_violation(rule: Rule) -> tuple[Column, Column]:
             cond = cond | (c < F.lit(lo))
         if hi is not None:
             cond = cond | (c > F.lit(hi))
-        return cond, F.concat(F.lit(f"length({rule.columns[0]}) outside [{lo}, {hi}]: "), F.coalesce(c.cast("string"), F.lit("NULL")))
+        return cond, F.concat(
+            F.lit(f"length({rule.columns[0]}) outside [{lo}, {hi}]: "),
+            F.coalesce(F.col(rule.columns[0]).cast("string"), F.lit("NULL")),
+        )
     if t == "cross_column":
         holds = F.expr(p["expr"])
         return ~F.coalesce(holds, F.lit(False)), F.lit(f"violated: {p['expr']}")
@@ -115,8 +133,8 @@ def _row_violation(rule: Rule) -> tuple[Column, Column]:
 
 
 def _agg_measures(rule: Rule) -> tuple[Column, Column]:
-    """Compile a table-level rule to (n_violations_expr, pass_expr) aggregate
-    columns evaluated inside the fused groupBy(partition) pass."""
+    """Compile a table-level rule to (n_violations_expr, pass_expr) aggregates
+    evaluated inside the fused totals pass."""
     p = rule.params
     t = rule.type
     if t == "null_rate_max":
@@ -144,23 +162,20 @@ def _agg_measures(rule: Rule) -> tuple[Column, Column]:
 
 
 # ---------------------------------------------------------------- plan level
-def _unique_plan(
-    df: DataFrame, rule: Rule, part: Column, n_salts: int
-) -> tuple[DataFrame, DataFrame]:
-    """Salted two-phase duplicate detection (SURVEY.md §4.3; north rule).
+# Each returns a *weighted* violations DataFrame:
+#   rule_id, partition, keys, detail, weight  (weight = offending-row count)
 
-    Returns (violations, per-partition counts ``(partition, n_violations)``).
-    ``n_violations`` counts every row in a duplicate group, matching the
-    reference's ``duplicated(keep=False)`` (`general_validation.py:19-27`).
-    """
+
+def _unique_violations(df: DataFrame, rule: Rule, part: Column, n_salts: int) -> DataFrame:
+    """Salted two-phase duplicate detection (SURVEY.md §4.3; north rule).
+    weight = group size, matching the reference's ``duplicated(keep=False)``
+    row count (`general_validation.py:19-27`)."""
     norm = rule.type == "unique_normalized"
     keyexprs = [
         (normalized(c) if norm else F.col(c)).alias(f"__k{i}")
         for i, c in enumerate(rule.columns)
     ]
     keynames = [f"__k{i}" for i in range(len(rule.columns))]
-    # Salt from the physical input split: rows of a hot key scatter across
-    # salts in phase 1, then phase 2 merges tiny partial counts per key.
     salted = df.select(part.alias("partition"), *keyexprs).withColumn(
         "__salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
     )
@@ -172,19 +187,16 @@ def _unique_plan(
         .agg(F.sum("__c").alias("n"))
         .filter(F.col("n") > 1)
     )
-    violations = dup_keys.select(
+    return dup_keys.select(
         F.lit(rule.rule_id).alias("rule_id"),
         F.col("partition"),
         F.concat_ws("|", *[F.col(k).cast("string") for k in keynames]).alias("keys"),
         F.concat(F.lit("duplicate key x"), F.col("n").cast("string")).alias("detail"),
+        F.col("n").cast("bigint").alias("weight"),
     )
-    counts = dup_keys.groupBy("partition").agg(F.sum("n").alias("n_violations"))
-    return violations, counts
 
 
-def _foreign_key_plan(
-    df: DataFrame, rule: Rule, part: Column, keys: Column
-) -> tuple[DataFrame, DataFrame]:
+def _foreign_key_violations(df: DataFrame, rule: Rule, part: Column, keys: Column) -> DataFrame:
     """Broadcast left-anti referential check (`general_validation.py:94-108`)."""
     dim: DataFrame = rule.params["dim"]
     dim_cols = list(rule.params.get("dim_columns", rule.columns))
@@ -193,27 +205,22 @@ def _foreign_key_plan(
     )
     cond = [sel[c] == dim[d] for c, d in zip(rule.columns, dim_cols)]
     missing = sel.join(F.broadcast(dim), cond, "left_anti")
-    violations = missing.select(
+    return missing.select(
         F.lit(rule.rule_id).alias("rule_id"),
         F.col("partition"),
         F.col("keys"),
         F.concat(
             F.lit("unknown value in reference: "),
-            F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in rule.columns]),
+            F.concat_ws(
+                "|", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in rule.columns]
+            ),
         ).alias("detail"),
+        F.lit(1).cast("bigint").alias("weight"),
     )
-    counts = missing.groupBy("partition").agg(F.count(F.lit(1)).alias("n_violations"))
-    return violations, counts
 
 
-def _group_consistency_plan(
-    df: DataFrame, rule: Rule, part: Column
-) -> tuple[DataFrame, DataFrame]:
-    """Within-group single-value check (rule 11, `maganamed_validation.py:216-248`).
-
-    Order-independent tightening of the reference's first-value comparison: a
-    group violates iff it holds >1 distinct non-null value of the column.
-    """
+def _group_consistency_violations(df: DataFrame, rule: Rule, part: Column) -> DataFrame:
+    """Within-group single-value check (rule 11, `maganamed_validation.py:216-248`)."""
     group_col = rule.params["group_by"]
     value_col = rule.columns[0]
     grouped = (
@@ -221,16 +228,17 @@ def _group_consistency_plan(
         .agg(F.count_distinct(F.col(value_col)).alias("__nd"))
         .filter(F.col("__nd") > 1)
     )
-    violations = grouped.select(
+    return grouped.select(
         F.lit(rule.rule_id).alias("rule_id"),
         F.col("partition"),
         F.col(group_col).cast("string").alias("keys"),
         F.concat(
-            F.lit(f"{value_col} has "), F.col("__nd").cast("string"), F.lit(" distinct values in group")
+            F.lit(f"{value_col} has "),
+            F.col("__nd").cast("string"),
+            F.lit(" distinct values in group"),
         ).alias("detail"),
+        F.lit(1).cast("bigint").alias("weight"),
     )
-    counts = grouped.groupBy("partition").agg(F.count(F.lit(1)).alias("n_violations"))
-    return violations, counts
 
 
 # ---------------------------------------------------------------- executor
@@ -238,18 +246,26 @@ def validate(
     df: DataFrame,
     suite: RuleSuite,
     n_salts: int = DEFAULT_N_SALTS,
+    persist_violations: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run every rule in ``suite`` over ``df``.
 
     Returns ``(verdicts, violations)``:
     - verdicts: ``rule_id, partition, pass, n_rows, n_violations`` — one row
-      per (rule, partition value).
-    - violations: ``rule_id, partition, keys, detail`` — offending rows/keys.
+      per (rule, partition value);
+    - violations: ``rule_id, partition, keys, detail``.
 
-    Both are lazy DataFrames; nothing is collected here.
+    Both are lazy. ``persist_violations=True`` caches the weighted violations
+    union so verdict counters re-aggregate it instead of re-executing each
+    subplan; measured on local[32] at 1M rows the cache materialization costs
+    far more than recomputing the (cheap, fused) subplans, so the default is
+    False — callers that persist violations to a sink should instead compute
+    verdicts from the stored result (see ledger module).
     """
     spark = df.sparkSession
-    part = F.expr(suite.partition_by).cast("string")
+    # null-safe partition value: verdict/violation counts join on partition,
+    # and NULL keys would silently drop rows in that join.
+    part = F.coalesce(F.expr(suite.partition_by).cast("string"), F.lit("__null__"))
     keys = (
         F.concat_ws("|", *[F.col(k).cast("string") for k in suite.key_cols])
         if suite.key_cols
@@ -263,105 +279,98 @@ def validate(
     gc_rules = [r for r in suite.rules if r.type == "group_consistency"]
     drift_rules = [r for r in suite.rules if r.type == "drift"]
 
-    compiled_rows = [(r, *_row_violation(r)) for r in row_rules]
-
-    # ---- fused verdict aggregation: ONE scan computes n_rows, every
-    # row-rule's violation count, and every table-level measure, per partition.
+    # ---- totals scan: n_rows + table-level measures per partition. Catalyst
+    # prunes the read to the partition expr + agg-rule columns only.
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
-    for r, cond, _ in compiled_rows:
-        aggs.append(F.sum(cond.cast("bigint")).alias(f"__v_{r.rule_id}"))
     for r in agg_rules:
         n_viol, ok = _agg_measures(r)
         aggs.append(n_viol.alias(f"__v_{r.rule_id}"))
         aggs.append(ok.alias(f"__p_{r.rule_id}"))
-    wide = df.groupBy(part.alias("partition")).agg(*aggs)
+    totals = df.groupBy(part.alias("partition")).agg(*aggs)
 
-    verdict_structs: list[Column] = []
-    for r, _, _ in compiled_rows:
-        v = F.col(f"__v_{r.rule_id}")
-        verdict_structs.append(
-            F.struct(
-                F.lit(r.rule_id).alias("rule_id"),
-                (v == 0).alias("pass"),
-                F.col("__n_rows").alias("n_rows"),
-                v.alias("n_violations"),
+    # ---- violations: one fused scan for all row-level rules, plus one
+    # fragment per plan-level rule, all weighted.
+    fragments: list[DataFrame] = []
+    compiled_rows = [(r, *_row_violation(r)) for r in row_rules]
+    if compiled_rows:
+        entries = [
+            F.when(
+                cond,
+                F.struct(
+                    F.lit(r.rule_id).alias("rule_id"), detail.cast("string").alias("detail")
+                ),
+            )
+            for r, cond, detail in compiled_rows
+        ]
+        arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
+        fragments.append(
+            df.select(part.alias("partition"), keys.alias("keys"), F.explode(arr).alias("v"))
+            .select(
+                "v.rule_id",
+                "partition",
+                "keys",
+                "v.detail",
+                F.lit(1).cast("bigint").alias("weight"),
             )
         )
+    for r in unique_rules:
+        fragments.append(_unique_violations(df, r, part, n_salts))
+    for r in fk_rules:
+        fragments.append(_foreign_key_violations(df, r, part, keys))
+    for r in gc_rules:
+        fragments.append(_group_consistency_violations(df, r, part))
+    for r in drift_rules:
+        from data_validator_guard_spark.operators.drift import drift_violations
+
+        fragments.append(drift_violations(df, r, part))
+
+    empty_w = spark.createDataFrame(
+        [], "rule_id string, partition string, keys string, detail string, weight bigint"
+    )
+    weighted = _union_all(fragments, empty_w)
+    if persist_violations and fragments:
+        weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
+
+    violations = weighted.select(*VIOLATION_COLS)
+
+    # ---- verdicts: agg-rule verdicts straight from totals; every other rule
+    # joins its violation count (from the cached weighted union) to totals.
+    counted_rules = row_rules + unique_rules + fk_rules + gc_rules + drift_rules
+    verdict_parts: list[DataFrame] = []
     for r in agg_rules:
-        verdict_structs.append(
-            F.struct(
+        verdict_parts.append(
+            totals.select(
                 F.lit(r.rule_id).alias("rule_id"),
+                F.col("partition"),
                 F.col(f"__p_{r.rule_id}").alias("pass"),
                 F.col("__n_rows").alias("n_rows"),
                 F.col(f"__v_{r.rule_id}").cast("bigint").alias("n_violations"),
             )
         )
-
-    verdict_parts: list[DataFrame] = []
-    if verdict_structs:
+    if counted_rules:
+        rule_ids = spark.createDataFrame(
+            [(r.rule_id,) for r in counted_rules], "rule_id string"
+        )
+        counts = weighted.groupBy("rule_id", "partition").agg(
+            F.sum("weight").alias("__w")
+        )
+        grid = totals.select("partition", F.col("__n_rows").alias("n_rows")).crossJoin(
+            F.broadcast(rule_ids)
+        )
         verdict_parts.append(
-            wide.select(
-                F.col("partition"), F.explode(F.array(*verdict_structs)).alias("v")
-            ).select("v.rule_id", "partition", "v.pass", "v.n_rows", "v.n_violations")
-        )
-
-    # partition totals reused by plan-level verdicts (no extra scan of df).
-    totals = wide.select("partition", F.col("__n_rows").alias("n_rows"))
-
-    violation_parts: list[DataFrame] = []
-
-    # ---- fused violation emission: one scan, array-of-structs explode.
-    if compiled_rows:
-        entries = [
-            F.when(
-                cond,
-                F.struct(F.lit(r.rule_id).alias("rule_id"), detail.cast("string").alias("detail")),
+            grid.join(F.broadcast(counts), ["rule_id", "partition"], "left").select(
+                "rule_id",
+                "partition",
+                (F.coalesce(F.col("__w"), F.lit(0)) == 0).alias("pass"),
+                "n_rows",
+                F.coalesce(F.col("__w"), F.lit(0)).cast("bigint").alias("n_violations"),
             )
-            for r, cond, detail in compiled_rows
-        ]
-        arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
-        violation_parts.append(
-            df.select(part.alias("partition"), keys.alias("keys"), F.explode(arr).alias("v"))
-            .select("v.rule_id", "partition", "keys", "v.detail")
         )
-
-    def _plan_verdict(rule: Rule, counts: DataFrame) -> DataFrame:
-        joined = totals.join(counts, "partition", "left").select(
-            F.lit(rule.rule_id).alias("rule_id"),
-            F.col("partition"),
-            (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("pass"),
-            F.col("n_rows"),
-            F.coalesce(F.col("n_violations"), F.lit(0)).cast("bigint").alias("n_violations"),
-        )
-        return joined
-
-    for r in unique_rules:
-        viol, counts = _unique_plan(df, r, part, n_salts)
-        violation_parts.append(viol)
-        verdict_parts.append(_plan_verdict(r, counts))
-    for r in fk_rules:
-        viol, counts = _foreign_key_plan(df, r, part, keys)
-        violation_parts.append(viol)
-        verdict_parts.append(_plan_verdict(r, counts))
-    for r in gc_rules:
-        viol, counts = _group_consistency_plan(df, r, part)
-        violation_parts.append(viol)
-        verdict_parts.append(_plan_verdict(r, counts))
-    for r in drift_rules:
-        from data_validator_guard_spark.operators.drift import drift_plan
-
-        viol, counts = drift_plan(df, r, part)
-        violation_parts.append(viol)
-        verdict_parts.append(_plan_verdict(r, counts))
 
     empty_verdicts = spark.createDataFrame(
         [], "rule_id string, partition string, pass boolean, n_rows bigint, n_violations bigint"
     )
-    empty_violations = spark.createDataFrame(
-        [], "rule_id string, partition string, keys string, detail string"
-    )
     verdicts = _union_all(verdict_parts, empty_verdicts)
-    violations = _union_all(violation_parts, empty_violations)
     return verdicts, violations
 
 

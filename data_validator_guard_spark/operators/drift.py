@@ -105,15 +105,14 @@ def psi_report(
     )
 
 
-def drift_plan(
-    df: DataFrame, rule: Rule, part: Column
-) -> tuple[DataFrame, DataFrame]:
+def drift_violations(df: DataFrame, rule: Rule, part: Column) -> DataFrame:
     """Engine integration: rule params are ``group_by`` (column), ``value``
     (SQL expr string, e.g. ``length(content)``), ``edges`` (fixed constants),
     ``baseline`` (DataFrame grp/bucket/n), ``threshold`` (max PSI).
 
-    Returns (violations, per-partition violation counts). Partition for drift
-    verdicts is the group column itself when ``partition_by`` is constant.
+    Returns a weighted violations fragment
+    ``(rule_id, partition, keys, detail, weight)`` — one row per drifted
+    group, weight 1.
     """
     p = rule.params
     edges = p["edges"]
@@ -158,13 +157,12 @@ def drift_plan(
         _stat, "partition string, grp string, psi double"
     )
     drifted = per_group.filter(F.col("psi") > F.lit(threshold))
-    violations = drifted.select(
+    return drifted.select(
         F.lit(rule.rule_id).alias("rule_id"),
         F.col("partition"),
         F.col("grp").alias("keys"),
-        F.concat(F.lit("psi="), F.round(F.col("psi"), 6).cast("string"), F.lit(f" > {threshold}")).alias(
-            "detail"
-        ),
+        F.concat(
+            F.lit("psi="), F.round(F.col("psi"), 6).cast("string"), F.lit(f" > {threshold}")
+        ).alias("detail"),
+        F.lit(1).cast("bigint").alias("weight"),
     )
-    counts = drifted.groupBy("partition").agg(F.count(F.lit(1)).alias("n_violations"))
-    return violations, counts
