@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale design:
+- **exact**: fingerprint (md5 of normalized text) → salted two-phase count →
+  keep min(id) per group. One shuffle on the fingerprint (uniformly
+  distributed by construction — no skew).
+- **MinHash+LSH**: shingle → k minhashes → b bands → candidate pairs only
+  within equal band buckets (the shuffle key is the band value, so work is
+  proportional to collisions, not |corpus|²) → exact-Jaccard verification of
+  candidates only.
+- **n-gram Jaccard**: exact Jaccard within cheap blocking buckets
+  (lang × length bucket) — the quadratic step is bounded per bucket.
+- **SimHash**: 16-bit signature from md5 nibbles; equal signatures → near-dup
+  bucket. Fully expression-level.
+
+Determinism (oracle parity): every hash is md5 of an explicit string —
+identical hex in any engine; minhash = lexicographic MIN over md5 hex strings;
+Jaccard = one IEEE division of two exact integer counts. No RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_validator_guard_spark.operators.text import normalize_text
+
+
+# ------------------------------------------------------------------ exact
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact near-identity dedup: ``fp, keep_id, n_copies`` per fingerprint
+    group (keep = min id, the canonical survivor)."""
+    fp = df.select(F.md5(normalize_text(F.col(text_col))).alias("fp"), F.col(id_col).alias("id"))
+    return fp.groupBy("fp").agg(
+        F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# ------------------------------------------------------------------ shingles
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> (empty if < n words)."""
+    words = F.split(F.trim(text), r"\s+")
+    k = F.size(words) - (n - 1)
+    idx = F.sequence(F.lit(1), k)
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])  # noqa: E731
+    return F.when(k >= 1, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Exploded distinct shingles: ``id, shingle``."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+# ------------------------------------------------------------------ minhash
+def minhash_signature(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, n: int = 3
+) -> DataFrame:
+    """k MinHash values per document: ``id, mh0..mh{k-1}``.
+
+    Hash family i = md5("i:" || shingle); the minimum is taken
+    lexicographically over the hex strings (engine-portable, no seed state).
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Candidate pairs from banded signatures: ``id1, id2`` (id1 < id2).
+
+    Band value = concat of its rows' minhashes; pairs join only within equal
+    (band_index, band_value) buckets, then distinct.
+    """
+    r = k // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("#", *[F.col(f"mh{b * r + j}") for j in range(r)]).alias("val"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sig.select(
+        F.col("id"), F.explode(F.array(*band_structs)).alias("bv")
+    ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs: ``id1, id2, jaccard`` (>= threshold).
+
+    intersection via a shingle-equality join restricted to candidates; union =
+    |A| + |B| - intersection. One division of two exact integers.
+    """
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = shingles.select(F.col("id").alias("id1"), F.col("shingle"))
+    s2 = shingles.select(F.col("id").alias("id2"), F.col("shingle"))
+    inter = (
+        pairs.join(s1, "id1")
+        .join(s2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: ``id1, id2, jaccard``.
+
+    LSH proposes, exact Jaccard disposes — output is exactly the candidate
+    pairs that truly meet the threshold (LSH affects recall only, and
+    identically so in any engine given the same hash family).
+    """
+    sig = minhash_signature(df, text_col, id_col, k, n)
+    pairs = lsh_candidate_pairs(sig, k, bands)
+    shingles = shingle_table(df, text_col, id_col, n)
+    return jaccard_verify(pairs, shingles, threshold)
+
+
+# ------------------------------------------------------------------ blocking jaccard
+def ngram_jaccard_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    length_bucket: int = 64,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup within blocking buckets:
+    ``id1, id2, jaccard``. Blocks = block_cols × floor(len/length_bucket)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.floor(F.length(F.col(text_col)) / length_bucket).alias("__lb"),
+        word_shingles(F.col(text_col), n).alias("__sh"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = (F.col("a.id") < F.col("b.id")) & (F.col("a.__lb") == F.col("b.__lb"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    pairs = a.join(b, cond).select(
+        F.col("a.id").alias("id1"),
+        F.col("b.id").alias("id2"),
+        F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh"))).alias("n_inter"),
+        F.size(F.col("a.__sh")).alias("sz1"),
+        F.size(F.col("b.__sh")).alias("sz2"),
+    )
+    return pairs.select(
+        "id1",
+        "id2",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("sz1") + F.col("sz2") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= F.lit(threshold))
+
+
+# ------------------------------------------------------------------ simhash
+SIMHASH_BITS = 16
+_HIGH_NIBBLES = "89abcdef"
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash over distinct whitespace tokens: ``id, simhash``.
+
+    Bit j of token t = high bit of nibble j of md5(t); document bit j = 1 iff
+    sum over tokens of (+1/-1) >= 0. Emitted as a 16-char '0'/'1' string —
+    equal strings → near-duplicate bucket. md5-nibble construction keeps it
+    portable (no engine-specific 64-bit hash).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("t"),
+    ).withColumn("h", F.md5(F.col("t")))
+    aggs = [
+        F.sum(
+            F.when(
+                F.substring(F.col("h"), j + 1, 1).isin(*list(_HIGH_NIBBLES)), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("id").agg(*aggs)
+    bits = F.concat(
+        *[F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(SIMHASH_BITS)]
+    )
+    return agg.select("id", bits.alias("simhash"))

@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions — JVM-side, whole-stage codegen, zero Python in
+the hot path. These generalize the reference's string-normalization +
+regex-predicate family (SURVEY.md §2.8) to corpus-scale document processing:
+language-ID (marker-token heuristic), quality scoring, token counting, and
+document fingerprinting.
+
+Determinism: every output is either an integer count, a single IEEE double
+operation (one division), or an md5 hex string — all exactly reproducible
+across engines for oracle comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish pre-tokenizer split
+STOPWORD_PATTERN = r"\b(the|a|of|and|to|in)\b"
+PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+
+# deterministic marker-token language heuristic (n-gram-style scoring with a
+# fixed priority order for ties)
+LANG_MARKERS = [("en", r"\bthe\b"), ("fr", r"\btable\b"), ("de", r"\bdata\b"), ("es", r"\brow\b")]
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single punctuation."""
+    return F.regexp_count(text, F.lit(WORD_TOKEN_PATTERN))
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document token counts: ``id, n_ws_tokens, n_word_tokens``."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        ws_token_count(t).alias("n_ws_tokens"),
+        word_token_count(t).alias("n_word_tokens"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality features + score.
+
+    ``id, n_chars, n_tokens, n_stopwords, n_punct, stopword_ratio,
+    punct_ratio, quality_score`` — integer counts plus single-division
+    doubles; score is a fixed linear blend clipped to [0, 1].
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = ws_token_count(t)
+    n_stop = F.regexp_count(t, F.lit(STOPWORD_PATTERN))
+    n_punct = F.regexp_count(t, F.lit(PUNCT_PATTERN))
+    nt = F.when(n_tokens > 0, n_tokens.cast("double"))
+    nc = F.when(n_chars > 0, n_chars.cast("double"))
+    stop_ratio = F.coalesce(n_stop.cast("double") / nt, F.lit(0.0))
+    punct_ratio = F.coalesce(n_punct.cast("double") / nc, F.lit(0.0))
+    length_ok = (n_chars >= 64) & (n_chars <= 100000)
+    score = (
+        F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Marker-token language heuristic: ``id, pred_lang, c_<lang>...``.
+
+    Fixed priority order breaks ties deterministically (first language in
+    LANG_MARKERS whose count is >= all later ones wins).
+    """
+    t = F.col(text_col)
+    counts = {lang: F.regexp_count(t, F.lit(pat)) for lang, pat in LANG_MARKERS}
+    langs = [lang for lang, _ in LANG_MARKERS]
+    pred = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = [counts[l2] for l2 in langs[langs.index(lang) + 1:]]
+        cond = counts[lang] >= F.greatest(*later) if len(later) > 1 else counts[lang] >= later[0]
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        *[counts[lang].alias(f"c_{lang}") for lang in langs],
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization: trim, collapse whitespace, lowercase."""
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content fingerprint over normalized text: ``id, fp`` (md5 hex).
+
+    The whitespace/case-insensitive analog of the engine's byte-identity
+    invariant ``sha2(content, 256)`` (BASELINE.json input_hint) — used as the
+    exact-dedup key.
+    """
+    return df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp")
+    )

@@ -433,3 +433,437 @@ def q_derived_source_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected_source"),
         (F.col("source") == expected).alias("ok"),
     )
+
+
+# =====================================================================
+# 13. Text analysis family (operators/text.py) — all expression-level.
+# =====================================================================
+@query(
+    "token_counts",
+    oracle=r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_word_tokens
+FROM documents
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import token_counts
+
+    return token_counts(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "quality_features",
+    oracle=r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars_actual,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS n_stopwords,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars_actual, n_tokens, n_stopwords, n_punct,
+       COALESCE(CAST(n_stopwords AS DOUBLE) / (CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE) END), 0.0) AS stopword_ratio,
+       COALESCE(CAST(n_punct AS DOUBLE) / (CASE WHEN n_chars_actual > 0 THEN CAST(n_chars_actual AS DOUBLE) END), 0.0) AS punct_ratio,
+       CAST(CASE WHEN n_chars_actual BETWEEN 64 AND 100000 THEN 0.5 ELSE 0.0 END
+        + CASE WHEN COALESCE(CAST(n_stopwords AS DOUBLE) / (CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE) END), 0.0) >= 0.01 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN COALESCE(CAST(n_punct AS DOUBLE) / (CASE WHEN n_chars_actual > 0 THEN CAST(n_chars_actual AS DOUBLE) END), 0.0) <= 0.2 THEN 0.25 ELSE 0.0 END
+       AS DOUBLE) AS quality_score
+FROM f
+""",
+)
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import quality_features
+
+    return quality_features(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "language_id",
+    oracle=r"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\bthe\b')) AS c_en,
+         len(regexp_extract_all(text, '\btable\b')) AS c_fr,
+         len(regexp_extract_all(text, '\bdata\b')) AS c_de,
+         len(regexp_extract_all(text, '\brow\b')) AS c_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN c_en >= greatest(c_fr, c_de, c_es) THEN 'en'
+            WHEN c_fr >= greatest(c_de, c_es) THEN 'fr'
+            WHEN c_de >= c_es THEN 'de'
+            ELSE 'es' END AS pred_lang,
+       c_en, c_fr, c_de, c_es
+FROM c
+""",
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import language_id
+
+    return language_id(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "fingerprints",
+    oracle=r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import fingerprint
+
+    return fingerprint(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# =====================================================================
+# 14. Deduplication family (operators/dedup.py). Near-dup queries run on
+#     documents ∪ perturbed copies so the testdata (which has no planted
+#     duplicates) exercises a non-empty result in both engines.
+# =====================================================================
+_NEAR_DUP_CTE = """
+WITH docs AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' extra suffix tokens appended here', lang FROM documents
+)
+"""
+
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pert = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra suffix tokens appended here")).alias("text"),
+        F.col("lang"),
+    )
+    return docs.unionByName(pert)
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+)
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM docs GROUP BY fp
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.dedup import exact_duplicates
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.unionByName(docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return exact_duplicates(dup, "text", "doc_id")
+
+
+_MINHASH_ORACLE = (
+    _NEAR_DUP_CTE
+    + r""",
+words AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS w FROM docs),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM words
+),
+sig AS (
+  SELECT id,
+         min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+         min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+         min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+         min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+  FROM sh GROUP BY id
+),
+bands AS (
+  SELECT id, 0 AS band, mh0 || '#' || mh1 AS val FROM sig
+  UNION ALL SELECT id, 1, mh2 || '#' || mh3 FROM sig
+  UNION ALL SELECT id, 2, mh4 || '#' || mh5 FROM sig
+  UNION ALL SELECT id, 3, mh6 || '#' || mh7 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.id < b.id
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.id = c.id1
+  JOIN sh s2 ON s2.id = c.id2 AND s2.shingle = s1.shingle
+  GROUP BY c.id1, c.id2
+)
+SELECT i.id1, i.id2,
+       CAST(i.n_inter AS DOUBLE) / CAST(z1.sz + z2.sz - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes z1 ON z1.id = i.id1 JOIN sizes z2 ON z2.id = i.id2
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(z1.sz + z2.sz - i.n_inter AS DOUBLE) >= 0.7
+"""
+)
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.dedup import minhash_near_duplicates
+
+    dup = _docs_with_near_dups(spark, sf_dir)
+    return minhash_near_duplicates(dup, "text", "doc_id", k=8, bands=4, n=3, threshold=0.7)
+
+
+_NGRAM_ORACLE = (
+    _NEAR_DUP_CTE
+    + r""",
+base AS (
+  SELECT doc_id AS id, lang,
+         CAST(floor(length(text) / 64) AS BIGINT) AS lb,
+         regexp_split_to_array(trim(text), '\s+') AS w
+  FROM docs
+),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM base
+),
+cand AS (
+  SELECT a.id AS id1, b.id AS id2
+  FROM base a JOIN base b ON a.lang = b.lang AND a.lb = b.lb AND a.id < b.id
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.id = c.id1
+  JOIN sh s2 ON s2.id = c.id2 AND s2.shingle = s1.shingle
+  GROUP BY c.id1, c.id2
+)
+SELECT i.id1, i.id2,
+       CAST(i.n_inter AS DOUBLE) / CAST(z1.sz + z2.sz - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes z1 ON z1.id = i.id1 JOIN sizes z2 ON z2.id = i.id2
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(z1.sz + z2.sz - i.n_inter AS DOUBLE) >= 0.7
+"""
+)
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.dedup import ngram_jaccard_duplicates
+
+    dup = _docs_with_near_dups(spark, sf_dir)
+    return ngram_jaccard_duplicates(
+        dup, "text", "doc_id", block_cols=["lang"], length_bucket=64, n=3, threshold=0.7
+    )
+
+
+_SIMHASH_ORACLE = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+),
+h AS (SELECT id, md5(t) AS h FROM tok),
+agg AS (
+  SELECT id,
+{sums}
+  FROM h GROUP BY id
+)
+SELECT id,
+{bits} AS simhash
+FROM agg
+""".format(
+    sums=",\n".join(
+        f"    SUM(CASE WHEN strpos('89abcdef', substr(h, {j + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    ),
+    bits=" || ".join(f"(CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END)" for j in range(16)),
+)
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.dedup import simhash
+
+    return simhash(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# =====================================================================
+# 15. Similarity search (operators/similarity.py). Oracle recomputes the
+#     same cosine in SQL; ranks use a total tiebreak so floats never
+#     reach the comparison.
+# =====================================================================
+_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, c.embedding) AS sim
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("similarity_topk", oracle=_TOPK_ORACLE)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.similarity import brute_force_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries_df, "embedding", "vec_id", k=5)
+
+
+@query("similarity_bucketed")
+def q_similarity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path; rows-only check — recall is by design
+    bucket-dependent, the oracle-checked baseline is similarity_topk)."""
+    from data_validator_guard_spark.operators.similarity import bucketed_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return bucketed_topk(emb, queries_df, "embedding", "vec_id", k=5, n_planes=4)
+
+
+# =====================================================================
+# 16. Rulebook cleaning (operators/cleaning.py; M1/M2). Inline rulebook,
+#     byte-identity of surviving rows proven via sha256 in both engines.
+# =====================================================================
+_CLEANING_ORACLE = """
+WITH rb AS (
+  SELECT * FROM (VALUES
+    ('src1', NULL, 'delete'),
+    ('src3', 'src103', 'update'),
+    ('src5', 'src105', 'merge'),
+    ('src7', NULL, 'skip')
+  ) AS t(source, correct_value, action)
+),
+kept AS (
+  SELECT d.* FROM documents d
+  WHERE d.source NOT IN (SELECT source FROM rb WHERE action = 'delete')
+),
+rewritten AS (
+  SELECT k.doc_id,
+         COALESCE(r.correct_value, k.source) AS source,
+         k.lang,
+         sha256(k.text) AS text_sha,
+         CASE WHEN r.correct_value IS NOT NULL THEN 'rewritten' ELSE 'kept' END AS __action
+  FROM kept k
+  LEFT JOIN (SELECT source, correct_value FROM rb
+             WHERE action IN ('update','merge','use') AND correct_value IS NOT NULL) r
+    ON k.source = r.source
+)
+SELECT * FROM rewritten
+"""
+
+
+@query("cleaning_rulebook", oracle=_CLEANING_ORACLE)
+def q_cleaning_rulebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.cleaning import apply_rulebook
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+    rb = spark.createDataFrame(
+        [
+            ("src1", None, "delete"),
+            ("src3", "src103", "update"),
+            ("src5", "src105", "merge"),
+            ("src7", None, "skip"),
+        ],
+        "source string, correct_value string, action string",
+    )
+    cleaned = apply_rulebook(docs, rb, key_col="source")
+    return cleaned.select(
+        "doc_id", "source", "lang", F.sha2(F.col("text"), 256).alias("text_sha"), "__action"
+    )
+
+
+# =====================================================================
+# 17. Multimodal plumbing (operators/multimodal.py): binary payloads +
+#     Arrow-batched stub decode; metadata oracle-checked byte-for-byte.
+# =====================================================================
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS stub_width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS stub_height
+FROM documents
+"""
+
+
+@query("multimodal_decode_stub", oracle=_MULTIMODAL_ORACLE)
+def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.multimodal import decode_stub
+
+    return decode_stub(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# =====================================================================
+# 18. Distribution drift (operators/drift.py) — the engine's one pandas
+#     UDF, PSI reproduced in SQL (same fixed edges + epsilon).
+# =====================================================================
+_DRIFT_EDGES = [0.0, 128.0, 192.0, 256.0, 384.0, 512.0]
+_DRIFT_EPS = 1e-6
+
+
+def _psi_oracle() -> str:
+    edges = _DRIFT_EDGES
+    bucket_sql = f"CASE WHEN n_chars < {edges[0]} THEN -1 " + " ".join(
+        f"WHEN n_chars < {edges[i]} THEN {i - 1}" for i in range(1, len(edges))
+    ) + f" ELSE {len(edges) - 1} END"
+    return f"""
+WITH cur AS (
+  SELECT lang AS grp, {bucket_sql} AS bucket, COUNT(*) AS n_cur
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2
+),
+base AS (
+  SELECT lang AS grp, {bucket_sql} AS bucket, COUNT(*) AS n_base
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+allb AS (
+  SELECT g.grp, b.bucket,
+         COALESCE(c.n_cur, 0) AS n_cur, COALESCE(ba.n_base, 0) AS n_base
+  FROM (SELECT DISTINCT grp FROM (SELECT grp FROM cur UNION ALL SELECT grp FROM base))
+       g
+  CROSS JOIN (SELECT unnest(generate_series(-1, {len(edges) - 1})) AS bucket) b
+  LEFT JOIN cur c ON c.grp = g.grp AND c.bucket = b.bucket
+  LEFT JOIN base ba ON ba.grp = g.grp AND ba.bucket = b.bucket
+),
+tot AS (
+  SELECT grp, SUM(n_cur) AS tc, SUM(n_base) AS tb FROM allb GROUP BY grp
+)
+SELECT a.grp AS lang,
+       CAST(SUM((CAST(a.n_cur AS DOUBLE) / t.tc + {_DRIFT_EPS}
+                 - CAST(a.n_base AS DOUBLE) / t.tb - {_DRIFT_EPS})
+                * ln((CAST(a.n_cur AS DOUBLE) / t.tc + {_DRIFT_EPS})
+                     / (CAST(a.n_base AS DOUBLE) / t.tb + {_DRIFT_EPS})))
+            AS DECIMAL(18, 8)) AS psi,
+       CAST(SUM(a.n_cur) AS BIGINT) AS n_cur, CAST(SUM(a.n_base) AS BIGINT) AS n_base
+FROM allb a JOIN tot t ON t.grp = a.grp
+GROUP BY a.grp
+"""
+
+
+@query("drift_psi", oracle=_psi_oracle())
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.drift import histogram, psi_report
+
+    docs = read_table(spark, sf_dir, "documents")
+    cur = histogram(docs.filter(F.col("doc_id") % 2 == 1), "lang", F.col("n_chars"), _DRIFT_EDGES)
+    base = histogram(docs.filter(F.col("doc_id") % 2 == 0), "lang", F.col("n_chars"), _DRIFT_EDGES)
+    rep = psi_report(cur, base, _DRIFT_EDGES)
+    return rep.select(
+        F.col("grp").alias("lang"),
+        F.col("psi").cast("decimal(18,8)").alias("psi"),
+        "n_cur",
+        "n_base",
+    )

@@ -1,0 +1,211 @@
+"""Operator unit tests on planted fixtures (SURVEY.md §5.2 test plan)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_exact_duplicates_keeps_min_id(spark):
+    from data_validator_guard_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello World"), (3, "unique text here")],
+        "doc_id bigint, text string",
+    )
+    out = {r.keep_id: r.n_copies for r in exact_duplicates(df, "text", "doc_id").collect()}
+    # 1 and 2 collapse under normalization (case + whitespace), 3 survives alone
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    from data_validator_guard_spark.operators.dedup import minhash_near_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog again and again today " * 3
+    rows = [
+        (1, base),
+        (2, base + " tiny suffix"),         # near-dup of 1
+        (3, "completely different content with nothing shared at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r.id1, r.id2) for r in minhash_near_duplicates(df, "text", "doc_id", threshold=0.6).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_ngram_jaccard_blocking(spark):
+    from data_validator_guard_spark.operators.dedup import ngram_jaccard_duplicates
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    df = spark.createDataFrame(
+        [(1, base, "en"), (2, base + " x", "en"), (3, base, "fr")],
+        "doc_id bigint, text string, lang string",
+    )
+    pairs = ngram_jaccard_duplicates(
+        df, "text", "doc_id", block_cols=["lang"], threshold=0.6
+    ).collect()
+    got = {(r.id1, r.id2) for r in pairs}
+    # 3 is identical to 1 but blocked away by lang — blocking is part of the contract
+    assert got == {(1, 2)}
+
+
+def test_simhash_identical_docs_equal(spark):
+    from data_validator_guard_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "spark shuffles data across executors"), (2, "spark shuffles data across executors"), (3, "zzz qqq vvv")],
+        "doc_id bigint, text string",
+    )
+    sh = {r.id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+    assert sh[1] == sh[2]
+    assert len(sh[1]) == 16 and set(sh[1]) <= {"0", "1"}
+
+
+def test_brute_force_topk_exact(spark):
+    from data_validator_guard_spark.operators.similarity import brute_force_topk
+
+    # orthogonal-ish vectors: nearest neighbor of 1 is 2 (same direction)
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 1)
+    out = [(r.neighbor_id, r.rank) for r in brute_force_topk(df, q, k=2).collect()]
+    assert sorted(out, key=lambda t: t[1]) == [(2, 1), (3, 2)]
+
+
+def test_bucketed_topk_same_bucket_recall(spark):
+    from data_validator_guard_spark.operators.similarity import bucketed_topk
+
+    rows = [(i, [float(i % 3 + 1), float(i % 5 + 1), 1.0, 2.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 2)
+    out = bucketed_topk(df, q, k=3).collect()
+    assert all(r.rank <= 3 for r in out)
+    assert all(r.query_id != r.neighbor_id for r in out)
+
+
+def test_cleaning_rulebook_actions(spark):
+    from data_validator_guard_spark.operators.cleaning import apply_rulebook
+
+    df = spark.createDataFrame(
+        [("A", "x"), ("B", "y"), ("C", "z"), ("D", None)],
+        "pid string, unit string",
+    )
+    rb = spark.createDataFrame(
+        [
+            ("A", None, "delete", None),
+            ("B", "B2", "update", "filled-unit"),
+            ("D", None, "skip", None),
+        ],
+        "pid string, correct_value string, action string, unit string",
+    )
+    out = apply_rulebook(df, rb, key_col="pid", fill_cols=("unit",))
+    got = {r.pid: (r.unit, r["__action"]) for r in out.collect()}
+    assert "A" not in got                        # deleted
+    assert got["B2"] == ("y", "rewritten")       # key rewritten, data kept
+    assert got["C"] == ("z", "kept")
+    assert got["D"][1] == "kept"                 # skip action -> untouched
+
+
+def test_multimodal_stub_matches_hashlib(spark):
+    from data_validator_guard_spark.operators.multimodal import decode_stub
+
+    df = spark.createDataFrame([(1, "hello"), (2, "world!")], "doc_id bigint, text string")
+    out = {r.doc_id: r for r in decode_stub(df, "text", "doc_id").collect()}
+    assert out[1].sha256 == hashlib.sha256(b"hello").hexdigest()
+    assert out[1].n_bytes == 5
+    assert out[2].stub_width == 6 % 640 + 1
+
+
+def test_drift_detects_shifted_distribution(spark):
+    from data_validator_guard_spark.operators.drift import histogram, psi_report
+
+    base = spark.createDataFrame(
+        [("a", float(50 + i % 10)) for i in range(200)] + [("b", float(50 + i % 10)) for i in range(200)],
+        "grp string, v double",
+    )
+    cur = spark.createDataFrame(
+        [("a", float(50 + i % 10)) for i in range(200)] + [("b", float(500 + i % 10)) for i in range(200)],
+        "grp string, v double",
+    )
+    edges = [0.0, 100.0, 200.0, 400.0, 800.0]
+    rep = {
+        r.grp: r.psi
+        for r in psi_report(
+            histogram(cur, "grp", F.col("v"), edges),
+            histogram(base, "grp", F.col("v"), edges),
+            edges,
+        ).collect()
+    }
+    assert rep["a"] < 0.01          # unchanged group: no drift
+    assert rep["b"] > 1.0           # fully shifted group: massive drift
+
+
+def test_drift_rule_in_suite(spark):
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.operators.drift import histogram
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    base_df = spark.createDataFrame(
+        [("a", 10), ("a", 12), ("b", 10), ("b", 11)], "lang string, ln int"
+    )
+    cur_df = spark.createDataFrame(
+        [("a", 10), ("a", 11), ("b", 500), ("b", 600)], "lang string, ln int"
+    )
+    edges = [0.0, 100.0, 1000.0]
+    baseline = histogram(base_df, "lang", F.col("ln"), edges)
+    suite = RuleSuite(
+        "drift",
+        [
+            Rule(
+                "len_drift",
+                "drift",
+                ("ln",),
+                {
+                    "group_by": "lang",
+                    "value": "ln",
+                    "edges": edges,
+                    "baseline": baseline,
+                    "threshold": 0.2,
+                },
+            )
+        ],
+    )
+    verdicts, violations = validate(cur_df, suite)
+    v = verdicts.collect()[0]
+    assert v.rule_id == "len_drift" and v["pass"] is False and v.n_violations == 1
+    assert violations.collect()[0].keys == "b"
+
+
+def test_salted_uniqueness_matches_plain_groupby_under_skew(spark):
+    """Skew test (SURVEY.md §5.2): hot key = 30% of rows; salted two-phase
+    result must equal a plain groupBy."""
+    from data_validator_guard_spark.operators.uniqueness import duplicate_keys
+
+    rows = [("hot", i % 7) for i in range(300)] + [(f"k{i}", i) for i in range(700)]
+    df = spark.createDataFrame(rows, "k string, v int").repartition(8)
+    salted = {(r.k, r.v): r.n for r in duplicate_keys(df, ["k", "v"]).collect()}
+    plain = {
+        (r.k, r.v): r.n
+        for r in df.groupBy("k", "v").agg(F.count(F.lit(1)).alias("n")).filter("n>1").collect()
+    }
+    assert salted == plain and len(salted) > 0
+
+
+def test_language_id_and_quality(spark):
+    from data_validator_guard_spark.operators.text import language_id, quality_features
+
+    df = spark.createDataFrame(
+        [(1, "the the the table"), (2, "table table data the")],
+        "doc_id bigint, text string",
+    )
+    pred = {r.doc_id: r.pred_lang for r in language_id(df, "text", "doc_id").collect()}
+    assert pred == {1: "en", 2: "fr"}
+    q = {r.doc_id: r for r in quality_features(df, "text", "doc_id").collect()}
+    assert q[1].n_tokens == 4 and q[1].n_stopwords == 3
