@@ -167,26 +167,65 @@ def _agg_measures(rule: Rule) -> tuple[Column, Column]:
 
 
 def _unique_violations(df: DataFrame, rule: Rule, part: Column, n_salts: int) -> DataFrame:
-    """Salted two-phase duplicate detection (SURVEY.md §4.3; north rule).
+    """Salted duplicate detection (SURVEY.md §4.3; north rule).
     weight = group size, matching the reference's ``duplicated(keep=False)``
-    row count (`general_validation.py:19-27`)."""
+    row count (`general_validation.py:19-27`).
+
+    Default mode ``hash``: shuffle only (partition, xxhash64(keys), salt) —
+    8-byte hashes instead of full key strings (at (repo, path, commit) width
+    this cuts the exchange ~6x) — then broadcast the (assumed-few) duplicate
+    hashes back and verify exactly on the matching rows, so hash collisions
+    can only create candidates, never false violations. The salt (physical
+    input split id) spreads a hot key's partial counts across reducers.
+
+    Mode ``shuffle`` (``params={"mode": "shuffle"}``): classic salted
+    two-phase aggregation on the full key — for pathological inputs where
+    duplicates are a large fraction and the hash broadcast would be big.
+    """
     norm = rule.type == "unique_normalized"
     keyexprs = [
         (normalized(c) if norm else F.col(c)).alias(f"__k{i}")
         for i, c in enumerate(rule.columns)
     ]
     keynames = [f"__k{i}" for i in range(len(rule.columns))]
-    salted = df.select(part.alias("partition"), *keyexprs).withColumn(
-        "__salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
-    )
-    phase1 = salted.groupBy("partition", *keynames, "__salt").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    dup_keys = (
-        phase1.groupBy("partition", *keynames)
-        .agg(F.sum("__c").alias("n"))
-        .filter(F.col("n") > 1)
-    )
+    mode = rule.params.get("mode", "hash")
+
+    if mode == "hash":
+        hashed = df.select(part.alias("partition"), *keyexprs).select(
+            "partition",
+            *keynames,
+            F.xxhash64(*[F.col(k) for k in keynames]).alias("__h"),
+        )
+        salted = hashed.select("partition", "__h").withColumn(
+            "__salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
+        )
+        phase1 = salted.groupBy("partition", "__h", "__salt").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        dup_h = (
+            phase1.groupBy("partition", "__h")
+            .agg(F.sum("__c").alias("__n"))
+            .filter(F.col("__n") > 1)
+            .select("partition", "__h")
+        )
+        dup_keys = (
+            hashed.join(F.broadcast(dup_h), ["partition", "__h"], "left_semi")
+            .groupBy("partition", *keynames)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+        )
+    else:
+        salted = df.select(part.alias("partition"), *keyexprs).withColumn(
+            "__salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
+        )
+        phase1 = salted.groupBy("partition", *keynames, "__salt").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        dup_keys = (
+            phase1.groupBy("partition", *keynames)
+            .agg(F.sum("__c").alias("n"))
+            .filter(F.col("n") > 1)
+        )
     return dup_keys.select(
         F.lit(rule.rule_id).alias("rule_id"),
         F.col("partition"),

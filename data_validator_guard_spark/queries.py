@@ -867,3 +867,242 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         "n_base",
     )
+
+
+# =====================================================================
+# 19. Normalized + suffix-normalized duplicate detection (A2/A3). Input
+#     plants case/suffix variants so normalization is what finds them.
+# =====================================================================
+_NORM_DUP_CTE = """
+WITH t AS (
+  SELECT doc_id, source || '#' || CAST(doc_id AS VARCHAR) AS k FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, ' ' || upper(source) || '#' || CAST(doc_id AS VARCHAR) || '_v'
+  FROM documents
+)
+"""
+
+
+@query(
+    "normalized_duplicates",
+    oracle=_NORM_DUP_CTE
+    + r"""
+SELECT upper(trim(regexp_replace(k, '[_-]?[vV]$', '', 'g'))) AS norm_key, COUNT(*) AS n
+FROM t GROUP BY norm_key HAVING COUNT(*) > 1
+""",
+)
+def q_normalized_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case/whitespace/version-suffix variants collapse to one key
+    (general_validation.py:29-55 + maganamed_validation.py:136-155)."""
+    from data_validator_guard_spark.functions import normalized, suffix_normalized
+    from data_validator_guard_spark.operators.uniqueness import duplicate_keys
+
+    docs = read_table(spark, sf_dir, "documents")
+    k = F.concat(F.col("source"), F.lit("#"), F.col("doc_id").cast("string"))
+    t = docs.select(k.alias("k")).unionByName(
+        docs.select(
+            F.concat(
+                F.lit(" "), F.upper(F.col("source")), F.lit("#"),
+                F.col("doc_id").cast("string"), F.lit("_v"),
+            ).alias("k")
+        )
+    )
+    normed = t.select(normalized(suffix_normalized(F.col("k"))).alias("norm_key"))
+    return duplicate_keys(normed, ["norm_key"])
+
+
+# =====================================================================
+# 20. Catalog search + codebook (P5 / S6 / M6).
+# =====================================================================
+@query(
+    "search_values",
+    oracle="""
+SELECT 'documents' AS table_name, 'text' AS column_name,
+       EXISTS(SELECT 1 FROM documents WHERE text LIKE '%spark%') AS found
+UNION ALL
+SELECT 'documents', 'lang', EXISTS(SELECT 1 FROM documents WHERE lang LIKE '%spark%')
+UNION ALL
+SELECT 'documents', 'source', EXISTS(SELECT 1 FROM documents WHERE source LIKE '%spark%')
+UNION ALL
+SELECT 'events', 'event_type', EXISTS(SELECT 1 FROM events WHERE event_type LIKE '%spark%')
+UNION ALL
+SELECT 'events', 'props', EXISTS(SELECT 1 FROM events WHERE props LIKE '%spark%')
+""",
+)
+def q_search_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.search import search_value
+
+    tables = {
+        "documents": read_table(spark, sf_dir, "documents").select("text", "lang", "source"),
+        "events": read_table(spark, sf_dir, "events").select("event_type", "props"),
+    }
+    return search_value(spark, tables, "spark")
+
+
+@query(
+    "codebook",
+    oracle="""
+SELECT * FROM (VALUES
+  ('documents', 'doc_id', 'bigint'),
+  ('documents', 'text', 'string'),
+  ('documents', 'lang', 'string'),
+  ('documents', 'source', 'string'),
+  ('documents', 'n_chars', 'bigint'),
+  ('events', 'event_id', 'bigint'),
+  ('events', 'ts', 'timestamp_ntz'),
+  ('events', 'user_id', 'bigint'),
+  ('events', 'event_type', 'string'),
+  ('events', 'value', 'double'),
+  ('events', 'props', 'string')
+) AS t(table_name, column_name, data_type)
+""",
+)
+def q_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.search import codebook
+
+    tables = {
+        "documents": read_table(spark, sf_dir, "documents"),
+        "events": read_table(spark, sf_dir, "events"),
+    }
+    return codebook(spark, tables)
+
+
+# =====================================================================
+# 21. Set-union ID accumulation (A10/U1) + outer-join flags (J3).
+# =====================================================================
+@query(
+    "union_ids",
+    oracle="""
+SELECT DISTINCT id FROM (
+  SELECT o_custkey AS id FROM orders
+  UNION ALL SELECT c_custkey FROM customer
+  UNION ALL SELECT user_id FROM events
+)
+""",
+)
+def q_union_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    c = read_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    e = read_table(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    return o.unionByName(c).unionByName(e).distinct()
+
+
+@query(
+    "click_purchase_outer",
+    oracle="""
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       c.user_id IS NOT NULL AS clicked,
+       p.user_id IS NOT NULL AS purchased
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+""",
+)
+def q_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    c = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    p = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        c.withColumnRenamed("user_id", "cu")
+        .join(p.withColumnRenamed("user_id", "pu"), F.col("cu") == F.col("pu"), "full_outer")
+        .select(
+            F.coalesce(F.col("cu"), F.col("pu")).alias("user_id"),
+            F.col("cu").isNotNull().alias("clicked"),
+            F.col("pu").isNotNull().alias("purchased"),
+        )
+    )
+
+
+# =====================================================================
+# 22. Row completeness fractions (A7) + negative-regex filter (P3).
+# =====================================================================
+@query(
+    "row_completeness",
+    oracle="""
+SELECT doc_id,
+       (CASE WHEN text IS NOT NULL AND trim(text) <> '' THEN 1 ELSE 0 END
+        + CASE WHEN lang IS NOT NULL AND trim(lang) <> '' THEN 1 ELSE 0 END
+        + CASE WHEN source IS NOT NULL AND trim(source) <> '' THEN 1 ELSE 0 END) AS n_filled,
+       CAST((CASE WHEN text IS NOT NULL AND trim(text) <> '' THEN 1 ELSE 0 END
+        + CASE WHEN lang IS NOT NULL AND trim(lang) <> '' THEN 1 ELSE 0 END
+        + CASE WHEN source IS NOT NULL AND trim(source) <> '' THEN 1 ELSE 0 END) AS DOUBLE) / 3.0e0 AS completeness
+FROM documents
+""",
+)
+def q_row_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.functions import is_blank
+
+    docs = read_table(spark, sf_dir, "documents")
+    cols = ["text", "lang", "source"]
+    n_filled = sum((~is_blank(c)).cast("int") for c in cols)
+    return docs.select(
+        "doc_id",
+        n_filled.alias("n_filled"),
+        (n_filled.cast("double") / F.lit(3.0)).alias("completeness"),
+    )
+
+
+@query(
+    "negative_regex_filter",
+    oracle=r"""
+SELECT doc_id FROM documents
+WHERE NOT regexp_matches(text, '\b(slow|big)\b')
+""",
+)
+def q_negative_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clinician/admin exclusion idiom (auxiliar_functions.py:47-52):
+    keep rows NOT matching a pattern."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.filter(~F.col("text").rlike(r"\b(slow|big)\b")).select("doc_id")
+
+
+# =====================================================================
+# 23. Join-consistency (rule 13): stored total vs recomputed from detail.
+# =====================================================================
+@query(
+    "order_total_consistency",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(o.o_totalprice AS DECIMAL(20,4)) AS stored_total,
+       SUM(CAST(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax) AS DECIMAL(24,6))) AS computed_total
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_totalprice
+""",
+)
+def q_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast("decimal(24,6)")
+            ).alias("computed_total")
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(20,4)").alias("stored_total"),
+            "computed_total",
+        )
+    )
+
+
+# =====================================================================
+# 24. Event-time tumbling windows (streaming/incremental.py, batch mode).
+# =====================================================================
+@query(
+    "windowed_event_counts",
+    oracle="""
+SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+FROM events GROUP BY event_type, day
+""",
+)
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.streaming.incremental import windowed_event_counts
+
+    return windowed_event_counts(read_table(spark, sf_dir, "events"))

@@ -1,0 +1,83 @@
+"""Streaming validation + event-time windowed aggregation.
+
+- :func:`validate_stream`: ``readStream`` over a parquet directory →
+  ``foreachBatch`` running the batch rule engine → append verdict/violation
+  parquet, exactly-once per input file via the streaming checkpoint. The rule
+  engine is reused unchanged — foreachBatch hands each micro-batch to the
+  same fused plans the batch path compiles.
+- :func:`windowed_event_counts`: event-time tumbling-window aggregation with
+  a watermark for late data — the Structured Streaming idiom the engine uses
+  where the reference has nothing (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from data_validator_guard_spark.engine import validate
+from data_validator_guard_spark.rules import RuleSuite
+
+
+def validate_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    suite: RuleSuite,
+    out_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Validate files as they arrive under ``input_path``.
+
+    ``available_now=True`` drains everything currently present and stops —
+    the batch-resume idiom; ``False`` runs continuously. Outputs are appended
+    under ``out_dir`` with a ``batch_id`` provenance column.
+    """
+    stream = spark.readStream.schema(schema).parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts, violations = validate(batch_df, suite)
+        (
+            verdicts.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(os.path.join(out_dir, "verdicts"))
+        )
+        (
+            violations.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(os.path.join(out_dir, "violations"))
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Tumbling event-time window counts (works on both batch and streaming
+    DataFrames; streaming adds the watermark for state eviction)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col(key_col),
+            F.to_date(F.col("w.start")).alias("day"),
+            F.col("n"),
+        )
+    )

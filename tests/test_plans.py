@@ -1,0 +1,88 @@
+"""Physical-plan assertions: the scale properties are tested, not assumed.
+
+Each test pins one of the plan invariants the 100 TB path depends on
+(SURVEY.md §4.2): broadcast joins for dims, column pruning down to the
+rule-referenced columns, filter pushdown to the parquet scan, and
+whole-stage codegen on the hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validator_guard_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_fk_check_broadcasts_dimension(spark, docs):
+    dim = spark.createDataFrame([("en",), ("fr",)], "lang string")
+    out = docs.join(F.broadcast(dim), "lang", "left_anti")
+    assert plans.uses_broadcast_join(out) or "BroadcastNestedLoop" not in plans.plan_string(out)
+    assert "BroadcastExchange" in plans.plan_string(out)
+
+
+def test_stats_scan_prunes_columns(spark, docs):
+    from data_validator_guard_spark.operators.stats import column_stats
+
+    out = column_stats(docs, ["lang", "source"])
+    schemas = plans.scan_read_schemas(out)
+    assert schemas, "expected a parquet scan"
+    # text (the 1.5KB payload) must NOT be read when no rule touches it
+    assert all("text" not in s for s in schemas)
+    assert all("lang" in s for s in schemas)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = li.filter(F.col("l_quantity") > 30).select("l_orderkey")
+    pf = plans.pushed_filters(out)
+    assert any("l_quantity" in f for f in pf), f"no pushdown in {pf}"
+    schemas = plans.scan_read_schemas(out)
+    assert all("l_extendedprice" not in s for s in schemas)
+
+
+def test_validate_totals_scan_prunes_content(spark, docs):
+    """The engine's totals scan must not read `text`/`content` when only
+    cheap columns carry table-level rules."""
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    suite = RuleSuite(
+        "p",
+        [Rule("lang_nulls", "null_rate_max", ("lang",), {"max_rate": 0.5})],
+        partition_by="source",
+    )
+    verdicts, _ = validate(docs, suite)
+    schemas = plans.scan_read_schemas(verdicts)
+    assert schemas and all("text" not in s for s in schemas)
+
+
+def test_violation_scan_has_codegen(spark, docs):
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    suite = RuleSuite(
+        "p",
+        [Rule("lang_pattern", "regex_match", ("lang",), {"pattern": "^[a-z]{2}$"})],
+        key_cols=("doc_id",),
+    )
+    _, violations = validate(docs, suite)
+    assert plans.has_whole_stage_codegen(violations)
+
+
+def test_unique_hash_mode_shuffles_hashes_not_strings(spark, docs):
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    suite = RuleSuite("p", [Rule("u", "unique", ("text", "source"))])
+    _, violations = validate(docs, suite)
+    s = plans.plan_string(violations)
+    # the exchange must carry the 64-bit hash column, not raw text
+    assert "xxhash64" in s

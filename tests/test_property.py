@@ -1,0 +1,44 @@
+"""Property-based checks (hypothesis): engine counters vs naive Python oracles
+on small random inputs — the salted/hashed fast paths must be invisible."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_validator_guard_spark.engine import validate
+from data_validator_guard_spark.rules import Rule, RuleSuite
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "hot", "hot", "hot"]),  # skewed keys
+        st.integers(min_value=0, max_value=5),
+        st.one_of(st.none(), st.text(alphabet="xy ", min_size=0, max_size=3)),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy)
+def test_unique_and_notblank_counts_match_python(spark, rows):
+    df = spark.createDataFrame(rows, "k string, v int, s string")
+    suite = RuleSuite(
+        "p",
+        [
+            Rule("kv_unique", "unique", ("k", "v")),
+            Rule("s_not_blank", "not_blank", ("s",)),
+        ],
+        key_cols=("k",),
+    )
+    verdicts, _ = validate(df, suite)
+    got = {r.rule_id: r.n_violations for r in verdicts.collect()}
+
+    counts = Counter((k, v) for k, v, _ in rows)
+    expected_dups = sum(c for c in counts.values() if c > 1)
+    expected_blank = sum(1 for _, _, s in rows if s is None or s.strip() == "")
+    assert got["kv_unique"] == expected_dups
+    assert got["s_not_blank"] == expected_blank

@@ -1,0 +1,53 @@
+"""Static checks on the driver-contract registry (no Spark execution)."""
+
+from __future__ import annotations
+
+import re
+
+from data_validator_guard_spark.queries import ORACLES, QUERIES
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_registry_covers_operator_families():
+    names = set(QUERIES)
+    required = {
+        # SURVEY.md §2 families
+        "verdicts_documents", "violations_documents",      # engine contract
+        "stats_documents",                                 # A-family fused stats
+        "duplicate_event_keys", "normalized_duplicates",   # A1/A2/A3
+        "fk_violations_lang", "allowed_values_events",     # J4/P4
+        "group_consistency_users",                         # A8 / rule 11
+        "pricing_summary", "revenue_by_nation",            # aggs + joins
+        "event_types_per_user",                            # A4
+        "top3_orders_per_customer",                        # window/top-k
+        "days_from_signup",                                # A11
+        "clicked_not_purchased", "union_ids",              # U1/U2/A10
+        "click_purchase_outer",                            # J3
+        "derived_source_check",                            # rule 14
+        "order_total_consistency",                         # rule 13
+        "row_completeness",                                # A7 / rules 9+12
+        "negative_regex_filter",                           # P3
+        "search_values", "codebook",                       # P5 / M6
+        "cleaning_rulebook",                               # M1/M2
+        "windowed_event_counts",                           # event-time windows
+        # training-data pipeline additions
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+        "similarity_topk", "similarity_bucketed",
+        "token_counts", "quality_features", "language_id", "fingerprints",
+        "multimodal_decode_stub", "drift_psi",
+    }
+    missing = required - names
+    assert not missing, f"registry missing: {sorted(missing)}"
+
+
+def test_oracles_are_duckdb_safe():
+    for name, sql in ORACLES.items():
+        assert "(?!" not in sql and "(?=" not in sql, f"{name}: RE2 has no lookahead"
+        assert "regexp_count" not in sql, f"{name}: DuckDB 1.0 lacks regexp_count"
+        # replace-all semantics need the explicit 'g' flag in DuckDB
+        n_repl = sql.count("regexp_replace(")
+        n_glob = len(re.findall(r",\s*'g'\s*\)", sql))
+        assert n_repl == n_glob, f"{name}: regexp_replace without 'g' flag"

@@ -1,0 +1,137 @@
+"""Two-parallelism scaling benchmark → BENCH/BASELINE.md.
+
+Sandbox protocol for the north rule's two-cluster-size criterion (no real
+cluster here — see BASELINE.md): run the identical full-suite validation job
+on the identical pre-materialized input at local[N] and local[4N], warm JVM,
+and report throughput at both plus ``efficiency = tp(4N) / (4 * tp(N))``
+(target >= 0.8).
+
+Each parallelism level runs in its own subprocess (one JVM per master
+setting); within a process the workload runs ``repeats+1`` times and the best
+post-warmup time counts.
+
+Usage::
+
+    python tools/bench_scaling.py                # orchestrate both + write md
+    python tools/bench_scaling.py --worker N     # internal: one level
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROWS = int(os.environ.get("DVG_SCALE_ROWS", "16000000"))
+REPEATS = int(os.environ.get("DVG_SCALE_REPEATS", "2"))
+SYNTH_PATH = f"/tmp/dvg_bench/synth_{ROWS}.parquet"
+N_SMALL = int(os.environ.get("DVG_SCALE_N", "4"))
+N_LARGE = 4 * N_SMALL
+
+
+def _workload(spark):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.suites import source_code_suite
+
+    src = spark.read.parquet(SYNTH_PATH)
+    suite = source_code_suite(spark)
+    verdicts, violations = validate(src, suite)
+    # both outputs are sunk concurrently (a real run writes both anyway);
+    # overlapping the two jobs hides per-job scheduling latency.
+    with ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(lambda: violations.write.format("noop").mode("overwrite").save())
+        f2 = ex.submit(lambda: verdicts.write.format("noop").mode("overwrite").save())
+        f1.result(); f2.result()
+
+
+def worker(cpus: int) -> None:
+    from data_validator_guard_spark.session import get_session
+
+    spark = get_session(
+        f"dvg-scale-{cpus}",
+        master=f"local[{cpus}]",
+        extra_confs={
+            "spark.sql.shuffle.partitions": str(cpus * 2),
+            # split the input into >= 4 tasks per core so the wide scans
+            # saturate every level (default 128MB splits give too few tasks)
+            "spark.sql.files.maxPartitionBytes": str(24 * 1024 * 1024),
+            "spark.driver.memory": "16g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(SYNTH_PATH):
+        from data_validator_guard_spark.synth import source_code_table
+
+        source_code_table(spark, ROWS, num_partitions=64).write.mode("overwrite").parquet(
+            SYNTH_PATH
+        )
+    _workload(spark)  # warm-up (codegen, parquet footers, JIT)
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        _workload(spark)
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"cpus": cpus, "sec": best, "rows_per_sec": ROWS / best}))
+
+
+def orchestrate() -> None:
+    # interleave legs (small, large, small, large) so host-noise windows hit
+    # both levels equally; best wall time per level counts.
+    results = {N_SMALL: None, N_LARGE: None}
+    for cpus in (N_SMALL, N_LARGE, N_SMALL, N_LARGE):
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker", str(cpus)],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        if results[cpus] is None or r["sec"] < results[cpus]["sec"]:
+            results[cpus] = r
+        print(line)
+    tp_s = results[N_SMALL]["rows_per_sec"]
+    tp_l = results[N_LARGE]["rows_per_sec"]
+    eff = tp_l / (4 * tp_s)
+    md = f"""# BENCH/BASELINE — scaling efficiency (sandbox two-parallelism protocol)
+
+Per BASELINE.md: the north rule's two-cluster-size criterion (N vs 4N
+executors, efficiency >= 0.8) is evidenced by running the identical job on the
+identical input at two parallelism levels on this machine ({os.cpu_count()}
+CPUs, one JVM per leg, legs interleaved, warm, best post-warmup run per level).
+
+Workload: full source-code rule suite (path/commit regex, blank checks,
+null-rate, cardinality, salted uniqueness on (repo,path,commit), lang
+referential FK) with violation-row emission, over a {ROWS:,}-row deterministic
+synthetic (repo, path, commit, lang, content) table (~1.5 KB content/row, one
+hot repo holding ~30% of rows) pre-materialized to parquet.
+
+| parallelism | wall sec | validated rows/sec |
+|---|---|---|
+| local[{N_SMALL}] (N) | {results[N_SMALL]['sec']:.2f} | {tp_s:,.0f} |
+| local[{N_LARGE}] (4N) | {results[N_LARGE]['sec']:.2f} | {tp_l:,.0f} |
+
+**Scaling efficiency** = tp(4N) / (4 x tp(N)) = **{eff:.3f}** (target >= 0.8).
+
+Reproduce: `python tools/bench_scaling.py` (env: DVG_SCALE_ROWS, DVG_SCALE_REPEATS).
+"""
+    os.makedirs(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"), exist_ok=True)
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "BASELINE.md"
+    )
+    with open(out_path, "w") as f:
+        f.write(md)
+    print(f"efficiency={eff:.3f} -> {out_path}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+    else:
+        orchestrate()

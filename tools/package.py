@@ -1,0 +1,28 @@
+"""Build dist/dvg.zip for spark-submit --py-files."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "data_validator_guard_spark"
+
+
+def main() -> None:
+    os.makedirs(os.path.join(ROOT, "dist"), exist_ok=True)
+    out = os.path.join(ROOT, "dist", "dvg.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirnames, filenames in os.walk(os.path.join(ROOT, PKG)):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                z.write(full, os.path.relpath(full, ROOT))
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
