@@ -231,3 +231,95 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         *[F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(SIMHASH_BITS)]
     )
     return agg.select("id", bits.alias("simhash"))
+
+
+# ------------------------------------------------- embedding cosine near-dup
+def _quantize(vec: Column, scale: int) -> Column:
+    """array<float> → array<long> via floor(x*scale + 0.5) — a single exact
+    IEEE double op per element, reproducible bit-for-bit in any engine."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def _int_lsh_bits(qv: Column, n_planes: int) -> Column:
+    """Sign-bucket id over *integer* projections: plane component for
+    (dim d, plane p) is ((d*31 + p*17) % 7) - 3 (pure arithmetic, same family
+    as operators.similarity.lsh_bucket) — with quantized vectors the
+    projection is an exact integer, so the bucket is engine-portable with no
+    float-sign edge cases."""
+    dim_idx = F.sequence(F.lit(1), F.size(qv))
+
+    def _term(p: int):
+        return lambda x, d: x * ((d * 31 + F.lit(p * 17)) % 7 - 3).cast("long")
+
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(qv, dim_idx, _term(p)), F.lit(0).cast("long"), lambda acc, v: acc + v
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold_cents: int = 90,
+    n_planes: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``id1, id2`` with
+    cos(quantized a, quantized b) >= threshold_cents/100.
+
+    The prompt-level contract (dedup family): candidate generation by
+    deterministic sign-bucket LSH, then *exact* verification. Both steps run
+    on integer-quantized vectors so the whole operator is exact integer
+    arithmetic end to end:
+
+      cos(a,b) >= t  ⇔  dot > 0  ∧  10000·dot² >= (100t)²·|a|²·|b|²
+
+    dot/|a|²/|b|² are int64 (safe for dim·(scale·|x|max)² < 2^63); the
+    comparison itself runs in decimal(38,0) (Spark) / HUGEINT (SQL oracles),
+    so no floats ever touch the decision → byte-identical to any SQL oracle.
+
+    Scale design: the shuffle key is the LSH bucket (2^n_planes buckets →
+    tune n_planes up for bigger corpora so per-bucket pair counts stay
+    bounded); the quadratic verify runs only within buckets. Identical
+    vectors always share a bucket, so exact duplicates have recall 1;
+    near-duplicates have LSH recall < 1 by design.
+    """
+    t2 = threshold_cents * threshold_cents
+    base = df.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("__q")
+    )
+    keyed = base.select(
+        "id",
+        "__q",
+        _int_lsh_bits(F.col("__q"), n_planes).alias("__bucket"),
+        _int_dot(F.col("__q"), F.col("__q")).alias("__n2"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id1"),
+        F.col("b.id").alias("id2"),
+        _int_dot(F.col("a.__q"), F.col("b.__q")).alias("__dot"),
+        F.col("a.__n2").alias("__na2"),
+        F.col("b.__n2").alias("__nb2"),
+    )
+    dot = F.col("__dot").cast("decimal(18,0)")
+    na2 = F.col("__na2").cast("decimal(18,0)")
+    nb2 = F.col("__nb2").cast("decimal(18,0)")
+    lhs = (dot * dot) * F.lit(10000).cast("decimal(5,0)")
+    rhs = (F.lit(t2).cast("decimal(5,0)") * na2) * nb2
+    return pairs.filter((F.col("__dot") > 0) & (lhs >= rhs)).select("id1", "id2")

@@ -72,3 +72,68 @@ def decode_metadata(payloads: DataFrame, batch_size: int = 256) -> DataFrame:
 def decode_stub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """End-to-end: text → binary payload → batched stub decode."""
     return decode_metadata(to_binary_payload(df, text_col, id_col))
+
+
+RESIZED_SCHEMA = "doc_id bigint, n_bytes bigint, width int, height int, resized_sha string"
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_sha string"
+
+
+def resize_stub(
+    payloads: DataFrame, width: int = 640, height: int = 480, batch_size: int = 256
+) -> DataFrame:
+    """STUB image resize over ``(doc_id, payload)`` → RESIZED_SCHEMA.
+
+    Real deployments replace the hash with an actual decode+resize (PIL /
+    libvips); the Arrow batch shape, schema contract and config knob are the
+    production plumbing. The stub output is ``sha256(payload || "{w}x{h}")``
+    — deterministic and oracle-checkable byte-for-byte.
+    """
+    spark = payloads.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    tag = f"{width}x{height}".encode()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            p = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": p.map(len),
+                    "width": width,
+                    "height": height,
+                    "resized_sha": p.map(
+                        lambda b: hashlib.sha256(bytes(b) + tag).hexdigest()
+                    ),
+                }
+            )
+
+    return payloads.mapInPandas(gen, RESIZED_SCHEMA)
+
+
+def frame_sample_stub(
+    payloads: DataFrame, n_frames: int = 4, batch_size: int = 64
+) -> DataFrame:
+    """STUB video frame sampling: one input row fans out to ``n_frames``
+    output rows (the 1→N batch shape real frame extraction produces).
+    frame_sha = sha256(payload || ':' || frame_idx)."""
+    spark = payloads.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "frame_idx": [], "frame_sha": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i in range(n_frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_sha"].append(
+                        hashlib.sha256(raw + b":" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(gen, FRAMES_SCHEMA)

@@ -1106,3 +1106,100 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_validator_guard_spark.streaming.incremental import windowed_event_counts
 
     return windowed_event_counts(read_table(spark, sf_dir, "events"))
+
+
+# =====================================================================
+# 25. Embedding-cosine near-duplicates (dedup family, prompt-mandated):
+#     integer-quantized LSH bucketing + exact integer threshold decision —
+#     no float ever reaches a comparison, so the SQL oracle replicates the
+#     operator bit-for-bit (HUGEINT there, decimal(38,0) here).
+# =====================================================================
+def _emb_neardup_oracle(threshold_cents: int = 90, n_planes: int = 4, scale: int = 1000) -> str:
+    proj = lambda p: (  # noqa: E731
+        f"list_sum(list_transform(generate_series(1, len(qv)), "
+        f"d -> qv[d] * (((d*31 + {p * 17}) % 7) - 3)))"
+    )
+    bits = " || ".join(
+        f"(CASE WHEN {proj(p)} >= 0 THEN '1' ELSE '0' END)" for p in range(n_planes)
+    )
+    t2 = threshold_cents * threshold_cents
+    return f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+),
+q AS (
+  SELECT id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS qv
+  FROM corpus
+),
+keyed AS (
+  SELECT id, qv, {bits} AS bucket,
+         list_sum(list_transform(qv, x -> x * x)) AS n2
+  FROM q
+),
+pairs AS (
+  SELECT a.id AS id1, b.id AS id2,
+         list_sum(list_transform(generate_series(1, len(a.qv)),
+                                 d -> a.qv[d] * b.qv[d])) AS dot,
+         a.n2 AS na2, b.n2 AS nb2
+  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id1, id2 FROM pairs
+WHERE dot > 0
+  AND CAST(10000 AS HUGEINT) * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
+      >= CAST({t2} AS HUGEINT) * CAST(na2 AS HUGEINT) * CAST(nb2 AS HUGEINT)
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_emb_neardup_oracle())
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.dedup import embedding_near_duplicates
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return embedding_near_duplicates(corpus, "embedding", "vec_id", threshold_cents=90)
+
+
+# =====================================================================
+# 26. Multimodal resize / frame-sample stubs (mapInPandas plumbing with
+#     deterministic fake codecs; 1→1 and 1→N batch shapes).
+# =====================================================================
+@query(
+    "multimodal_resize_stub",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(640 AS INT) AS width, CAST(480 AS INT) AS height,
+       sha256(text || '640x480') AS resized_sha
+FROM documents
+""",
+)
+def q_multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.multimodal import resize_stub, to_binary_payload
+
+    docs = read_table(spark, sf_dir, "documents")
+    return resize_stub(to_binary_payload(docs, "text", "doc_id"), 640, 480)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT d.doc_id, CAST(f.i AS INT) AS frame_idx,
+       sha256(d.text || ':' || CAST(f.i AS VARCHAR)) AS frame_sha
+FROM documents d
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) f
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.multimodal import (
+        frame_sample_stub,
+        to_binary_payload,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return frame_sample_stub(to_binary_payload(docs, "text", "doc_id"), n_frames=4)

@@ -209,3 +209,46 @@ def test_language_id_and_quality(spark):
     assert pred == {1: "en", 2: "fr"}
     q = {r.doc_id: r for r in quality_features(df, "text", "doc_id").collect()}
     assert q[1].n_tokens == 4 and q[1].n_stopwords == 3
+
+
+def test_embedding_near_duplicates_exact_copies(spark):
+    from data_validator_guard_spark.operators.dedup import embedding_near_duplicates
+
+    rows = [
+        (1, [0.5, 0.1, -0.2, 0.3]),
+        (2, [0.5, 0.1, -0.2, 0.3]),      # exact copy of 1 → pair (1,2)
+        (3, [0.501, 0.1, -0.2, 0.3]),    # near copy → cosine ~1
+        (4, [-0.5, 0.4, 0.2, -0.3]),     # far from everything
+        (5, [0.0, 0.0, 0.0, 0.0]),       # zero vector → never matches
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id1, r.id2)
+        for r in embedding_near_duplicates(df, "embedding", "vec_id").collect()
+    }
+    assert (1, 2) in got
+    assert (1, 3) in got and (2, 3) in got
+    assert all(4 not in pair and 5 not in pair for pair in got)
+
+
+def test_multimodal_resize_and_frames(spark):
+    import hashlib
+
+    from data_validator_guard_spark.operators.multimodal import (
+        frame_sample_stub,
+        resize_stub,
+        to_binary_payload,
+    )
+
+    df = spark.createDataFrame([(1, "hello"), (2, "world!")], "doc_id long, text string")
+    pay = to_binary_payload(df, "text", "doc_id")
+
+    resized = {r.doc_id: r for r in resize_stub(pay, 320, 240).collect()}
+    assert resized[1].width == 320 and resized[1].height == 240
+    assert resized[1].resized_sha == hashlib.sha256(b"hello320x240").hexdigest()
+    assert resized[2].n_bytes == 6
+
+    frames = frame_sample_stub(pay, n_frames=3).collect()
+    assert len(frames) == 6
+    by_key = {(r.doc_id, r.frame_idx): r.frame_sha for r in frames}
+    assert by_key[(1, 2)] == hashlib.sha256(b"hello:2").hexdigest()
