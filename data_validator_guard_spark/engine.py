@@ -121,6 +121,29 @@ def _row_violation(rule: Rule) -> tuple[Column, Column]:
     if t == "cross_column":
         holds = F.expr(p["expr"])
         return ~F.coalesce(holds, F.lit(False)), F.lit(f"violated: {p['expr']}")
+    if t == "range_tolerance":
+        # rule 12: |value - expected| <= tol, NULL on either side violates
+        # (maganamed_validation.py:283-296 skipped NULLs silently; the engine
+        # reports them — blank dates are themselves a data defect).
+        value, expected = F.expr(p["value"]), F.expr(p["expected"])
+        tol = F.lit(float(p["tol"]))
+        delta = F.abs(value - expected)
+        cond = ~F.coalesce(delta <= tol, F.lit(False))
+        return cond, F.concat(
+            F.lit(f"|{p['value']} - {p['expected']}| > {p['tol']}: "),
+            F.coalesce(delta.cast("string"), F.lit("NULL")),
+        )
+    if t == "derived_equality":
+        # rule 14: metadata-derived value vs stored column
+        # (movisensxs_validation.py:55-78 derives visit/site from filename).
+        value, expected = F.expr(p["value"]), F.expr(p["expected"])
+        cond = ~F.coalesce(value.eqNullSafe(expected), F.lit(False))
+        return cond, F.concat(
+            F.lit(f"{p['value']} != {p['expected']}: "),
+            F.coalesce(value.cast("string"), F.lit("NULL")),
+            F.lit(" vs "),
+            F.coalesce(expected.cast("string"), F.lit("NULL")),
+        )
     if t == "completeness":
         n = len(rule.columns)
         filled = sum((~is_blank(c)).cast("int") for c in rule.columns)

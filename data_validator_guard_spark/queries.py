@@ -1203,3 +1203,153 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return frame_sample_stub(to_binary_payload(docs, "text", "doc_id"), n_frames=4)
+
+
+# =====================================================================
+# 27. range_tolerance + derived_equality rule types (rules 12 / 14) run
+#     through the engine, every verdict counter reproduced in SQL.
+# =====================================================================
+@query(
+    "verdicts_extended",
+    oracle="""
+SELECT 'derived_source' AS rule_id, '__all__' AS "partition",
+       SUM(CASE WHEN source IS DISTINCT FROM 'src' || CAST(doc_id % 20 AS VARCHAR) THEN 1 ELSE 0 END) = 0 AS pass,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN source IS DISTINCT FROM 'src' || CAST(doc_id % 20 AS VARCHAR) THEN 1 ELSE 0 END) AS n_violations
+FROM documents
+UNION ALL
+SELECT 'nchars_matches_len', '__all__',
+       SUM(CASE WHEN NOT COALESCE(abs(n_chars - length(text)) <= 0.0, FALSE) THEN 1 ELSE 0 END) = 0,
+       COUNT(*),
+       SUM(CASE WHEN NOT COALESCE(abs(n_chars - length(text)) <= 0.0, FALSE) THEN 1 ELSE 0 END)
+FROM documents
+UNION ALL
+SELECT 'nchars_near_256', '__all__',
+       SUM(CASE WHEN NOT COALESCE(abs(n_chars - 256) <= 200.0, FALSE) THEN 1 ELSE 0 END) = 0,
+       COUNT(*),
+       SUM(CASE WHEN NOT COALESCE(abs(n_chars - 256) <= 200.0, FALSE) THEN 1 ELSE 0 END)
+FROM documents
+UNION ALL
+SELECT 'lang_not_zh', '__all__',
+       SUM(CASE WHEN NOT COALESCE(lang <> 'zh', FALSE) THEN 1 ELSE 0 END) = 0,
+       COUNT(*),
+       SUM(CASE WHEN NOT COALESCE(lang <> 'zh', FALSE) THEN 1 ELSE 0 END)
+FROM documents
+""",
+)
+def q_verdicts_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    suite = RuleSuite(
+        name="documents_extended",
+        rules=[
+            Rule(
+                "derived_source",
+                "derived_equality",
+                ("source",),
+                {"value": "source", "expected": "concat('src', cast(doc_id % 20 as string))"},
+            ),
+            Rule(
+                "nchars_matches_len",
+                "range_tolerance",
+                ("n_chars",),
+                {"value": "n_chars", "expected": "length(text)", "tol": 0.0},
+            ),
+            Rule(
+                "nchars_near_256",
+                "range_tolerance",
+                ("n_chars",),
+                {"value": "n_chars", "expected": "256", "tol": 200.0},
+            ),
+            Rule("lang_not_zh", "cross_column", (), {"expr": "lang <> 'zh'"}),
+        ],
+        key_cols=("doc_id",),
+    )
+    verdicts, _ = validate(docs, suite)
+    return verdicts
+
+
+# =====================================================================
+# 28. Allowed-pairs (rule 8): multi-column broadcast FK through the engine.
+# =====================================================================
+@query(
+    "allowed_pairs_violations",
+    oracle="""
+SELECT 'lang_source_pair' AS rule_id, '__all__' AS "partition",
+       CAST(doc_id AS VARCHAR) AS keys,
+       'unknown value in reference: ' || lang || '|' || source AS detail
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM (
+    SELECT l.lang, 'src' || CAST(s.i AS VARCHAR) AS source
+    FROM (VALUES ('de'),('en'),('es'),('fr')) l(lang)
+    CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS i) s
+  ) dim
+  WHERE dim.lang = d.lang AND dim.source = d.source
+)
+""",
+)
+def q_allowed_pairs_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = [(l, f"src{i}") for l in ALLOWED_DOC_LANGS for i in range(20)]
+    dim = spark.createDataFrame(pairs, "lang string, source string")
+    suite = RuleSuite(
+        name="documents_pairs",
+        rules=[
+            Rule("lang_source_pair", "foreign_key", ("lang", "source"), {"dim": dim}),
+        ],
+        key_cols=("doc_id",),
+    )
+    _, violations = validate(docs, suite)
+    return violations
+
+
+# =====================================================================
+# 29. Chi-square drift statistic (companion to drift_psi; same fixed
+#     edges, pandas-UDF result reproduced in SQL).
+# =====================================================================
+def _chi2_oracle() -> str:
+    edges = _DRIFT_EDGES
+    bucket_sql = f"CASE WHEN n_chars < {edges[0]} THEN -1 " + " ".join(
+        f"WHEN n_chars < {edges[i]} THEN {i - 1}" for i in range(1, len(edges))
+    ) + f" ELSE {len(edges) - 1} END"
+    return f"""
+WITH cur AS (
+  SELECT lang AS grp, {bucket_sql} AS bucket, COUNT(*) AS n_cur
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2
+),
+base AS (
+  SELECT lang AS grp, {bucket_sql} AS bucket, COUNT(*) AS n_base
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+j AS (
+  SELECT COALESCE(c.grp, b.grp) AS grp, COALESCE(c.bucket, b.bucket) AS bucket,
+         COALESCE(c.n_cur, 0) AS n_cur, COALESCE(b.n_base, 0) AS n_base
+  FROM cur c FULL OUTER JOIN base b ON c.grp = b.grp AND c.bucket = b.bucket
+),
+tot AS (SELECT grp, SUM(n_cur) AS tc, SUM(n_base) AS tb FROM j GROUP BY grp)
+SELECT j.grp AS lang,
+       CAST(SUM(CASE WHEN j.n_base > 0 AND t.tb > 0 AND t.tc > 0 THEN
+         (CAST(j.n_cur AS DOUBLE) - CAST(j.n_base AS DOUBLE) * t.tc / t.tb)
+         * (CAST(j.n_cur AS DOUBLE) - CAST(j.n_base AS DOUBLE) * t.tc / t.tb)
+         / (CAST(j.n_base AS DOUBLE) * t.tc / t.tb)
+       ELSE 0.0 END) AS DECIMAL(18,6)) AS chi2,
+       CAST(SUM(j.n_cur) AS BIGINT) AS n_cur, CAST(SUM(j.n_base) AS BIGINT) AS n_base
+FROM j JOIN tot t ON t.grp = j.grp
+GROUP BY j.grp
+"""
+
+
+@query("drift_chi2", oracle=_chi2_oracle())
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.drift import histogram, psi_report
+
+    docs = read_table(spark, sf_dir, "documents")
+    cur = histogram(docs.filter(F.col("doc_id") % 2 == 1), "lang", F.col("n_chars"), _DRIFT_EDGES)
+    base = histogram(docs.filter(F.col("doc_id") % 2 == 0), "lang", F.col("n_chars"), _DRIFT_EDGES)
+    rep = psi_report(cur, base, _DRIFT_EDGES)
+    return rep.select(
+        F.col("grp").alias("lang"),
+        F.col("chi2").cast("decimal(18,6)").alias("chi2"),
+        "n_cur",
+        "n_base",
+    )

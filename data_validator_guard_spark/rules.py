@@ -26,6 +26,13 @@ cross_column        arbitrary boolean SQL expr over the row must hold
                     (rule 1 / rule 8 dict-equality checks, J5)
 completeness        >= ``threshold`` fraction of ``columns`` non-blank per
                     row (rule 9, maganamed_validation.py:193-213, A7)
+range_tolerance     |``params["value"]`` - ``params["expected"]``| <=
+                    ``params["tol"]`` (rule 12's visit-period-within-±10-days
+                    check, maganamed_validation.py:283-296) — both sides are
+                    SQL exprs over the row
+derived_equality    ``params["value"]`` == ``params["expected"]`` (rule 14:
+                    code derived from source metadata vs stored column,
+                    movisensxs_validation.py:55-78)
 unique              no duplicate ``columns`` tuples — salted two-phase agg
                     (general_validation.py:19-27, A1; north rule)
 unique_normalized   unique over upper(trim(col)) (A2)
@@ -58,6 +65,8 @@ ROW_LEVEL_TYPES = frozenset(
         "length_range",
         "cross_column",
         "completeness",
+        "range_tolerance",
+        "derived_equality",
     }
 )
 AGG_LEVEL_TYPES = frozenset({"null_rate_max", "min_rows", "cardinality_range"})

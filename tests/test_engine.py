@@ -162,3 +162,32 @@ def test_report_ordering(spark, mock_df):
     verdicts, violations = report(*validate(mock_df, suite))
     rv = [r.rule_id for r in verdicts.collect()]
     assert rv == sorted(rv)
+
+
+def test_range_tolerance_and_derived_equality(spark):
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 12, "a", "a"),
+            (2, 10, 25, "b", "b"),   # delta 15 > tol 5
+            (3, None, 12, "c", "x"), # null value → range violation; c != x
+            (4, 10, 10, None, None), # null == null → derived passes
+        ],
+        "id long, v long, expected long, got string, want string",
+    )
+    suite = RuleSuite(
+        name="t",
+        rules=[
+            Rule("rt", "range_tolerance", ("v",), {"value": "v", "expected": "expected", "tol": 5.0}),
+            Rule("de", "derived_equality", ("got",), {"value": "got", "expected": "want"}),
+        ],
+        key_cols=("id",),
+    )
+    verdicts, violations = validate(df, suite)
+    v = {r.rule_id: r for r in verdicts.collect()}
+    assert v["rt"].n_violations == 2 and not v["rt"]["pass"]
+    assert v["de"].n_violations == 1 and not v["de"]["pass"]
+    keys = {(r.rule_id, r.keys) for r in violations.collect()}
+    assert ("rt", "2") in keys and ("rt", "3") in keys and ("de", "3") in keys
