@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_validator_guard_spark.session import get_session  # noqa: E402
 
-SYNTH_ROWS = int(os.environ.get("DVG_BENCH_SYNTH_ROWS", "2000000"))
+SYNTH_ROWS = int(os.environ.get("DVG_BENCH_SYNTH_ROWS", "8000000"))
 
 HEADLINE = [
     "verdicts_documents",
@@ -51,7 +51,12 @@ def main() -> None:
     spark = get_session(
         "dvg-bench",
         master=f"local[{cpus}]",
-        extra_confs={"spark.sql.shuffle.partitions": str(max(cpus, 16))},
+        extra_confs={
+            "spark.sql.shuffle.partitions": str(max(cpus, 16)),
+            # split scans into >= ~2 tasks/core: the synth table is ~100 B/row
+            # so default 128 MB splits would starve a 32-core scan.
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -83,6 +88,13 @@ def main() -> None:
         ).parquet(synth_path)
     src = spark.read.parquet(synth_path)
     suite = source_code_suite(spark)
+    # warm-up on a small slice: compiles the exact same codegen stages (the
+    # first execution of each unique plan shape costs ~tens of seconds of
+    # Janino compilation that a long-running cluster pays once, not per job);
+    # the measurement below is steady-state validation throughput.
+    warm_v, warm_viol = validate(src.limit(50000), suite)
+    _force(warm_v)
+    _force(warm_viol)
     t0 = time.perf_counter()
     verdicts, violations = validate(src, suite)
     _force(verdicts)

@@ -10,22 +10,26 @@ Reference semantics being rebuilt (SURVEY.md §2.12, §3):
 
 Execution strategy (the part the reference could not have — SURVEY.md §4):
 
-1. **One pruned totals scan.** ``groupBy(partition).agg(n_rows, *table-level
-   measures)`` — Catalyst prunes the read down to the partition expression +
-   the few columns table-level rules touch (never ``content`` unless a rule
-   needs it).
-2. **One violation scan.** Every row-level rule on the table fuses into a
-   single pass (the one good idea in the reference —
+1. **One fused totals scan.** ``groupBy(partition).agg(n_rows, *table-level
+   measures, *row-rule violation counters)`` — every row-level rule's
+   violation count is a ``sum(when(cond,1))`` in the SAME aggregation as the
+   table-level measures (the one good idea in the reference —
    `maganamed_validation.py:100-134` fuses two checks into one scan — applied
-   universally): an array-of-structs ``filter``+``explode`` emits all
-   violating (rule, row) pairs in one whole-stage-codegen stage.
-3. **Verdict counters re-aggregate the violations union.** unique /
-   foreign_key / group_consistency / drift each contribute a *weighted*
-   violations fragment (weight = offending-row count per emitted key); the
-   verdicts join per-(rule, partition) weight sums against the totals scan.
-   Optionally the union is persisted, but measured on local[32] the cache
-   materialization costs more than recomputing the fused subplans — callers
-   that sink violations should derive verdicts from the stored result.
+   universally), so verdicts for row+agg rules cost exactly one pass and
+   Catalyst prunes the read to the union of rule-referenced columns.
+2. **One violation scan, only when violations are sunk.** Row-level violation
+   *rows* come from a separate fused pass: an array-of-structs
+   ``filter``+``explode`` emits all violating (rule, row) pairs in one
+   whole-stage-codegen stage. A caller that only materializes verdicts (the
+   common case at 10^12 scale: per-partition pass/fail first, details on
+   demand) never executes it.
+3. **Plan-level rules contribute weighted fragments.** unique / foreign_key /
+   group_consistency / drift each produce a *weighted* violations fragment
+   (weight = offending-row count per emitted key); verdicts join per-(rule,
+   partition) weight sums against the totals. Fragment outputs are small
+   (aggregations / anti-joins); forcing verdicts and violations separately
+   recomputes them, which measured cheaper than persisting the union
+   (``persist_violations=True`` restores the cache).
 
 Operator choices:
 - **unique**: salted two-phase hash aggregation (north rule): phase 1 groups
@@ -317,12 +321,14 @@ def validate(
       per (rule, partition value);
     - violations: ``rule_id, partition, keys, detail``.
 
-    Both are lazy. ``persist_violations=True`` caches the weighted violations
-    union so verdict counters re-aggregate it instead of re-executing each
-    subplan; measured on local[32] at 1M rows the cache materialization costs
-    far more than recomputing the (cheap, fused) subplans, so the default is
-    False — callers that persist violations to a sink should instead compute
-    verdicts from the stored result (see ledger module).
+    Both are lazy. Verdicts for row- and table-level rules come entirely from
+    the single fused totals aggregation — materializing only verdicts never
+    touches the violation-row scan. ``persist_violations=True`` caches the
+    plan-level fragment union so sinking both outputs shares those subplans;
+    measured on local[32] the fragments (small aggregation/anti-join outputs)
+    are usually cheaper to recompute, so the default is False — callers that
+    persist violations to a sink should instead compute verdicts from the
+    stored result (see ledger module).
     """
     spark = df.sparkSession
     # null-safe partition value: verdict/violation counts join on partition,
@@ -341,19 +347,25 @@ def validate(
     gc_rules = [r for r in suite.rules if r.type == "group_consistency"]
     drift_rules = [r for r in suite.rules if r.type == "drift"]
 
-    # ---- totals scan: n_rows + table-level measures per partition. Catalyst
-    # prunes the read to the partition expr + agg-rule columns only.
+    # ---- totals scan: n_rows + table-level measures + row-rule violation
+    # counters, all in ONE aggregation pass per partition. Catalyst prunes the
+    # read to the partition expr + the union of rule-referenced columns.
+    compiled_rows = [(r, *_row_violation(r)) for r in row_rules]
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
     for r in agg_rules:
         n_viol, ok = _agg_measures(r)
         aggs.append(n_viol.alias(f"__v_{r.rule_id}"))
         aggs.append(ok.alias(f"__p_{r.rule_id}"))
+    for r, cond, _detail in compiled_rows:
+        aggs.append(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("bigint").alias(f"__v_{r.rule_id}")
+        )
     totals = df.groupBy(part.alias("partition")).agg(*aggs)
 
-    # ---- violations: one fused scan for all row-level rules, plus one
-    # fragment per plan-level rule, all weighted.
+    # ---- violations: one fused scan for all row-level rules (executed only
+    # when the violations output is sunk), plus one fragment per plan-level
+    # rule, all weighted.
     fragments: list[DataFrame] = []
-    compiled_rows = [(r, *_row_violation(r)) for r in row_rules]
     if compiled_rows:
         entries = [
             F.when(
@@ -365,7 +377,7 @@ def validate(
             for r, cond, detail in compiled_rows
         ]
         arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
-        fragments.append(
+        row_fragment = (
             df.select(part.alias("partition"), keys.alias("keys"), F.explode(arr).alias("v"))
             .select(
                 "v.rule_id",
@@ -375,6 +387,8 @@ def validate(
                 F.lit(1).cast("bigint").alias("weight"),
             )
         )
+    else:
+        row_fragment = None
     for r in unique_rules:
         fragments.append(_unique_violations(df, r, part, n_salts))
     for r in fk_rules:
@@ -389,15 +403,20 @@ def validate(
     empty_w = spark.createDataFrame(
         [], "rule_id string, partition string, keys string, detail string, weight bigint"
     )
-    weighted = _union_all(fragments, empty_w)
+    plan_weighted = _union_all(fragments, empty_w)
     if persist_violations and fragments:
-        weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
+        plan_weighted = plan_weighted.persist(StorageLevel.MEMORY_AND_DISK)
+    weighted = (
+        row_fragment.select(*empty_w.columns).unionByName(plan_weighted)
+        if row_fragment is not None
+        else plan_weighted
+    )
 
     violations = weighted.select(*VIOLATION_COLS)
 
-    # ---- verdicts: agg-rule verdicts straight from totals; every other rule
-    # joins its violation count (from the cached weighted union) to totals.
-    counted_rules = row_rules + unique_rules + fk_rules + gc_rules + drift_rules
+    # ---- verdicts: row+agg rule verdicts straight from the fused totals
+    # scan; plan-level rules join their violation-count sums to totals.
+    counted_rules = unique_rules + fk_rules + gc_rules + drift_rules
     verdict_parts: list[DataFrame] = []
     for r in agg_rules:
         verdict_parts.append(
@@ -409,11 +428,21 @@ def validate(
                 F.col(f"__v_{r.rule_id}").cast("bigint").alias("n_violations"),
             )
         )
+    for r in row_rules:
+        verdict_parts.append(
+            totals.select(
+                F.lit(r.rule_id).alias("rule_id"),
+                F.col("partition"),
+                (F.coalesce(F.col(f"__v_{r.rule_id}"), F.lit(0)) == 0).alias("pass"),
+                F.col("__n_rows").alias("n_rows"),
+                F.coalesce(F.col(f"__v_{r.rule_id}"), F.lit(0)).cast("bigint").alias("n_violations"),
+            )
+        )
     if counted_rules:
         rule_ids = spark.createDataFrame(
             [(r.rule_id,) for r in counted_rules], "rule_id string"
         )
-        counts = weighted.groupBy("rule_id", "partition").agg(
+        counts = plan_weighted.groupBy("rule_id", "partition").agg(
             F.sum("weight").alias("__w")
         )
         grid = totals.select("partition", F.col("__n_rows").alias("n_rows")).crossJoin(

@@ -1353,3 +1353,106 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         "n_base",
     )
+
+
+# =====================================================================
+# 30. Classic OLAP shapes widening the join/agg surface: semi-join with a
+#     non-equi predicate (Q4-shape), segmented top-k (Q3-shape), and a
+#     window-based correlated aggregate (Q17-shape). Decimal-cast addends
+#     keep every SUM order-independent.
+# =====================================================================
+@query(
+    "late_shipment_priority_counts",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o.o_orderpriority
+""",
+)
+def q_late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate.cast("date"), 60).cast("timestamp")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "top_building_orders",
+    oracle="""
+SELECT o_orderkey, revenue, rn FROM (
+  SELECT l.l_orderkey AS o_orderkey,
+         SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS revenue,
+         ROW_NUMBER() OVER (
+           ORDER BY SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) DESC,
+                    l.l_orderkey
+         ) AS rn
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+  GROUP BY l.l_orderkey
+) WHERE rn <= 10
+""",
+)
+def q_top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    l = read_table(spark, sf_dir, "lineitem")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return rev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
+@query(
+    "small_quantity_lineitems",
+    oracle="""
+WITH avgq AS (
+  SELECT l_partkey, AVG(CAST(l_quantity AS DOUBLE)) AS aq, COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_orderkey, l.l_partkey, l.l_linenumber,
+       CAST(l.l_quantity AS DECIMAL(20,4)) AS quantity
+FROM lineitem l JOIN avgq a ON a.l_partkey = l.l_partkey
+WHERE a.n >= 3 AND CAST(l.l_quantity AS DOUBLE) < 0.5 * (a.aq / 1.0)
+""",
+)
+def q_small_quantity_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: per-part average via window (no second scan/self-join),
+    then rows under half the average. AVG of doubles is the single
+    IEEE-divide of an exact-ish sum — both engines compute sum/count over
+    the same values; the 0.5x comparison keeps floats out of the output."""
+    l = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    q = F.col("l_quantity").cast("double")
+    avg_sum = F.sum(q).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    return (
+        l.withColumn("__aq", avg_sum / cnt)
+        .withColumn("__n", cnt)
+        .filter((F.col("__n") >= 3) & (q < 0.5 * (F.col("__aq") / F.lit(1.0))))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("decimal(20,4)").alias("quantity"),
+        )
+    )

@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROWS = int(os.environ.get("DVG_SCALE_ROWS", "16000000"))
 REPEATS = int(os.environ.get("DVG_SCALE_REPEATS", "2"))
 SYNTH_PATH = f"/tmp/dvg_bench/synth_{ROWS}.parquet"
-N_SMALL = int(os.environ.get("DVG_SCALE_N", "4"))
+N_SMALL = int(os.environ.get("DVG_SCALE_N", "2"))
 N_LARGE = 4 * N_SMALL
 
 
