@@ -414,54 +414,60 @@ def validate(
 
     violations = weighted.select(*VIOLATION_COLS)
 
-    # ---- verdicts: row+agg rule verdicts straight from the fused totals
-    # scan; plan-level rules join their violation-count sums to totals.
+    # ---- verdicts: ONE execution of the totals subplan for ALL rules — the
+    # per-partition totals row is unpivoted into one verdict row per rule via
+    # a single explode(array(structs)). (A per-rule ``totals.select`` union
+    # would make Catalyst re-execute the whole totals aggregation — scan
+    # included — once per rule; measured 8 scans for an 8-rule suite.)
+    # Plan-level rules ride the same explode with NULL placeholders and take
+    # their counts from a broadcast left join against the fragment sums.
     counted_rules = unique_rules + fk_rules + gc_rules + drift_rules
-    verdict_parts: list[DataFrame] = []
+    entries: list[Column] = []
     for r in agg_rules:
-        verdict_parts.append(
-            totals.select(
+        entries.append(
+            F.struct(
                 F.lit(r.rule_id).alias("rule_id"),
-                F.col("partition"),
                 F.col(f"__p_{r.rule_id}").alias("pass"),
-                F.col("__n_rows").alias("n_rows"),
-                F.col(f"__v_{r.rule_id}").cast("bigint").alias("n_violations"),
+                F.col(f"__v_{r.rule_id}").cast("bigint").alias("nv"),
             )
         )
     for r in row_rules:
-        verdict_parts.append(
-            totals.select(
+        nv = F.coalesce(F.col(f"__v_{r.rule_id}"), F.lit(0)).cast("bigint")
+        entries.append(
+            F.struct(F.lit(r.rule_id).alias("rule_id"), (nv == 0).alias("pass"), nv.alias("nv"))
+        )
+    for r in counted_rules:
+        entries.append(
+            F.struct(
                 F.lit(r.rule_id).alias("rule_id"),
-                F.col("partition"),
-                (F.coalesce(F.col(f"__v_{r.rule_id}"), F.lit(0)) == 0).alias("pass"),
-                F.col("__n_rows").alias("n_rows"),
-                F.coalesce(F.col(f"__v_{r.rule_id}"), F.lit(0)).cast("bigint").alias("n_violations"),
-            )
-        )
-    if counted_rules:
-        rule_ids = spark.createDataFrame(
-            [(r.rule_id,) for r in counted_rules], "rule_id string"
-        )
-        counts = plan_weighted.groupBy("rule_id", "partition").agg(
-            F.sum("weight").alias("__w")
-        )
-        grid = totals.select("partition", F.col("__n_rows").alias("n_rows")).crossJoin(
-            F.broadcast(rule_ids)
-        )
-        verdict_parts.append(
-            grid.join(F.broadcast(counts), ["rule_id", "partition"], "left").select(
-                "rule_id",
-                "partition",
-                (F.coalesce(F.col("__w"), F.lit(0)) == 0).alias("pass"),
-                "n_rows",
-                F.coalesce(F.col("__w"), F.lit(0)).cast("bigint").alias("n_violations"),
+                F.lit(None).cast("boolean").alias("pass"),
+                F.lit(None).cast("bigint").alias("nv"),
             )
         )
 
     empty_verdicts = spark.createDataFrame(
         [], "rule_id string, partition string, pass boolean, n_rows bigint, n_violations bigint"
     )
-    verdicts = _union_all(verdict_parts, empty_verdicts)
+    if not entries:
+        return empty_verdicts, violations
+
+    exploded = totals.select(
+        "partition", F.col("__n_rows").alias("n_rows"), F.explode(F.array(*entries)).alias("e")
+    ).select("e.rule_id", "partition", "e.pass", "n_rows", "e.nv")
+    if counted_rules:
+        counts = plan_weighted.groupBy("rule_id", "partition").agg(
+            F.sum("weight").alias("__w")
+        )
+        exploded = exploded.join(F.broadcast(counts), ["rule_id", "partition"], "left")
+    else:
+        exploded = exploded.withColumn("__w", F.lit(None).cast("bigint"))
+    verdicts = exploded.select(
+        "rule_id",
+        "partition",
+        F.coalesce(F.col("pass"), F.coalesce(F.col("__w"), F.lit(0)) == 0).alias("pass"),
+        "n_rows",
+        F.coalesce(F.col("nv"), F.col("__w"), F.lit(0)).cast("bigint").alias("n_violations"),
+    )
     return verdicts, violations
 
 
