@@ -1456,3 +1456,107 @@ def q_small_quantity_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("decimal(20,4)").alias("quantity"),
         )
     )
+
+
+# =====================================================================
+# 31. Remaining SURVEY.md §2 parity: group-first dedup-by-key (A5),
+#     fill-missing enrichment join (J7), rulebook auto-generation (M5).
+# =====================================================================
+@query(
+    "first_event_per_user",
+    oracle="""
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (`maganamed_validation.py:92-93` groupby.first) with an explicit
+    total order — pandas' first-row-seen is nondeterministic under
+    distribution, so the engine contract is first-by-(ts, event_id)."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@query(
+    "fill_missing_lang",
+    oracle="""
+WITH holes AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang
+  FROM documents
+),
+dim AS (
+  SELECT 'src' || CAST(i AS VARCHAR) AS source,
+         CASE WHEN i % 2 = 0 THEN 'en' ELSE 'de' END AS default_lang
+  FROM (SELECT unnest(generate_series(0, 19)) AS i)
+)
+SELECT h.doc_id, h.source,
+       CASE WHEN h.lang IS NULL OR trim(h.lang) = '' THEN d.default_lang
+            ELSE h.lang END AS lang,
+       (h.lang IS NULL OR trim(h.lang) = '') AND d.default_lang IS NOT NULL AS filled
+FROM holes h LEFT JOIN dim d ON d.source = h.source
+""",
+)
+def q_fill_missing_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 (`general_id_cleaning.py:302-317`): fill blank values from a
+    broadcast reference lookup; blanks are planted deterministically so the
+    fill path is exercised."""
+    from data_validator_guard_spark.functions import is_blank
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(None)).otherwise(F.col("lang")).alias("lang"),
+    )
+    dim = spark.createDataFrame(
+        [(f"src{i}", "en" if i % 2 == 0 else "de") for i in range(20)],
+        "source string, default_lang string",
+    )
+    joined = docs.join(F.broadcast(dim), "source", "left")
+    blank = is_blank("lang")
+    return joined.select(
+        "doc_id",
+        "source",
+        F.when(blank, F.col("default_lang")).otherwise(F.col("lang")).alias("lang"),
+        (blank & F.col("default_lang").isNotNull()).alias("filled"),
+    )
+
+
+@query(
+    "rulebook_autogen",
+    oracle="""
+SELECT k AS key, CAST(NULL AS VARCHAR) AS correct_value,
+       CASE WHEN k IS NULL OR trim(k) = '' OR k LIKE '% %' OR upper(k) LIKE '%TEST%'
+              THEN 'delete'
+            WHEN length(k) >= 10 THEN 'update'
+            ELSE 'check manually' END AS action
+FROM (
+  SELECT DISTINCT source || CASE WHEN doc_id % 7 = 0 THEN ' TEST'
+                                 WHEN doc_id % 11 = 0 THEN '_0123456789'
+                                 ELSE '' END AS k
+  FROM documents
+)
+""",
+)
+def q_rulebook_autogen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 (`utils/rulebook.py:31-35,97-100`): classify keys into actions by
+    content; defective keys planted deterministically."""
+    from data_validator_guard_spark.operators.cleaning import rulebook_from_rules
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.col("source"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" TEST"))
+            .when(F.col("doc_id") % 11 == 0, F.lit("_0123456789"))
+            .otherwise(F.lit("")),
+        ).alias("key")
+    )
+    return rulebook_from_rules(docs, "key")
