@@ -58,3 +58,57 @@ def test_windowed_counts_batch_parity(spark):
         ("click", "2024-01-02"): 1,
         ("view", "2024-01-01"): 1,
     }
+
+
+def test_running_verdicts_stateful(spark, tmp_path):
+    """applyInPandasWithState: cumulative verdicts survive across batches and
+    across a query restart (state store checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from data_validator_guard_spark.streaming.incremental import running_verdicts_stream
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "partition string, is_violation int"
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        out = running_verdicts_stream(stream)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # cumulative counters are monotone: the latest state per partition is
+        # the row with max n_rows
+        rows = spark.read.parquet(out_dir).collect()
+        latest = {}
+        for r in rows:
+            cur = latest.get(r.partition)
+            if cur is None or r.n_rows > cur[0]:
+                latest[r.partition] = (r.n_rows, r.n_violations, r["pass"])
+        return latest
+
+    spark.createDataFrame(
+        [("a", 0), ("a", 1), ("b", 0)], schema
+    ).write.mode("append").parquet(in_dir)
+    got1 = run_once()
+    assert got1["a"] == (2, 1, False)
+    assert got1["b"] == (1, 0, True)
+
+    # second batch arrives; restarted query resumes state from the checkpoint
+    spark.createDataFrame([("a", 0), ("b", 1), ("b", 0)], schema).write.mode(
+        "append"
+    ).parquet(in_dir)
+    got2 = run_once()
+    assert got2["a"] == (3, 1, False)
+    assert got2["b"] == (3, 1, False)
