@@ -53,3 +53,23 @@ def write_report(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
     else:
         raise ValueError(f"unknown format {fmt!r}")
+
+
+def read_source(
+    spark: SparkSession, source: str, snapshot_id: str | int | None = None
+) -> DataFrame:
+    """Read the north-rule input table ``(repo, path, commit, lang, content)``.
+
+    ``source`` is either an Iceberg table identifier (``catalog.db.table`` —
+    requires the Iceberg runtime on the cluster classpath) or a parquet
+    directory (the sandbox stand-in). For Iceberg, ``snapshot_id`` pins the
+    read to a snapshot (the lineage id the ledger records), so resume always
+    re-reads the exact snapshot the first attempt saw — the distributed
+    version of the reference's clone-before-clean (`database/db.py:113-126`).
+    """
+    if os.path.exists(source) or source.endswith(".parquet"):
+        return spark.read.parquet(source)
+    reader = spark.read
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
+    return reader.table(source)

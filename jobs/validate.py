@@ -23,13 +23,24 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# Under spark-submit --py-files the package comes from dvg.zip; for a plain
+# ``python jobs/validate.py`` run, fall back to the repo checkout next door.
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_repo_root, "data_validator_guard_spark")):
+    sys.path.insert(0, _repo_root)
 
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="parquet dir of (repo, path, commit, lang, content)")
+    p.add_argument(
+        "--input",
+        required=True,
+        help="Iceberg table id or parquet dir of (repo, path, commit, lang, content)",
+    )
     p.add_argument("--out", required=True, help="output dir (verdicts/ violations/ ledger/)")
     p.add_argument("--snapshot-id", required=True, help="input snapshot lineage id")
     p.add_argument("--rule-version", default="v1")
@@ -43,6 +54,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.appName("dvg-validate").getOrCreate()
 
     from data_validator_guard_spark.ledger import run_with_ledger
+    from data_validator_guard_spark.sources import read_source
     from data_validator_guard_spark.suites import source_code_suite
 
     baseline = spark.read.parquet(args.baseline_hist) if args.baseline_hist else None
@@ -51,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
         baseline_hist=baseline,
         partition_by=f"pmod(xxhash64(repo), {args.partitions})",
     )
-    df = spark.read.parquet(args.input)
+    df = read_source(spark, args.input, snapshot_id=args.snapshot_id)
     t0 = time.time()
     stats = run_with_ledger(
         df,

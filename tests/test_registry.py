@@ -51,3 +51,12 @@ def test_oracles_are_duckdb_safe():
         n_repl = sql.count("regexp_replace(")
         n_glob = len(re.findall(r",\s*'g'\s*\)", sql))
         assert n_repl == n_glob, f"{name}: regexp_replace without 'g' flag"
+
+
+def test_read_source_parquet_fallback(spark, tmp_path):
+    from data_validator_guard_spark.sources import read_source
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p)
+    got = read_source(spark, p, snapshot_id="snap1").collect()
+    assert [(r.id, r.v) for r in got] == [(1, "a")]
