@@ -38,6 +38,10 @@ HEADLINE = [
     "event_types_per_user",
     "top3_orders_per_customer",
     "days_from_signup",
+    "dedup_exact",
+    "token_counts",
+    "similarity_topk",
+    "drift_psi",
 ]
 
 

@@ -42,3 +42,27 @@ def test_unique_and_notblank_counts_match_python(spark, rows):
     expected_blank = sum(1 for _, _, s in rows if s is None or s.strip() == "")
     assert got["kv_unique"] == expected_dups
     assert got["s_not_blank"] == expected_blank
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy)
+def test_range_and_derived_counts_match_python(spark, rows):
+    df = spark.createDataFrame(rows, "k string, v int, s string")
+    suite = RuleSuite(
+        "p2",
+        [
+            Rule("v_near_2", "range_tolerance", ("v",), {"value": "v", "expected": "2", "tol": 1.0}),
+            Rule("k_is_hot", "derived_equality", ("k",), {"value": "k", "expected": "'hot'"}),
+        ],
+        key_cols=("k",),
+    )
+    verdicts, violations = validate(df, suite)
+    got = {r.rule_id: r.n_violations for r in verdicts.collect()}
+    expected_range = sum(1 for _, v, _ in rows if not (abs(v - 2) <= 1))
+    expected_derived = sum(1 for k, _, _ in rows if k != "hot")
+    assert got["v_near_2"] == expected_range
+    assert got["k_is_hot"] == expected_derived
+    # violation rows agree with the counters (row-level rules: weight 1 each)
+    vc = Counter(r.rule_id for r in violations.collect())
+    assert vc.get("v_near_2", 0) == expected_range
+    assert vc.get("k_is_hot", 0) == expected_derived
