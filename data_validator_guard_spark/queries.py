@@ -1560,3 +1560,64 @@ def q_rulebook_autogen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key")
     )
     return rulebook_from_rules(docs, "key")
+
+
+# =====================================================================
+# 32. Per-partition verdicts (the north rule's core output shape):
+#     partition_by = lang, every (rule, partition) counter reproduced in
+#     SQL — including per-partition salted uniqueness and broadcast FK.
+# =====================================================================
+@query(
+    "verdicts_by_lang",
+    oracle="""
+WITH t AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS p,
+         doc_id % 50 AS k, text, n_chars, lang
+  FROM documents
+),
+dup AS (
+  SELECT p, COALESCE(SUM(n), 0) AS n_dup FROM (
+    SELECT p, COUNT(*) AS n FROM t GROUP BY p, k HAVING COUNT(*) > 1
+  ) d GROUP BY p
+),
+tot AS (
+  SELECT p, COUNT(*) AS n_rows,
+         SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS n_blank,
+         SUM(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 1000000 THEN 1 ELSE 0 END) AS n_range,
+         SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS n_fk
+  FROM t GROUP BY p
+)
+SELECT 'text_not_blank' AS rule_id, p AS "partition", n_blank = 0 AS pass,
+       n_rows, n_blank AS n_violations
+FROM tot
+UNION ALL
+SELECT 'nchars_range', p, n_range = 0, n_rows, n_range FROM tot
+UNION ALL
+SELECT 'min_rows_10', p, n_rows >= 10, n_rows,
+       CASE WHEN n_rows >= 10 THEN 0 ELSE 1 END
+FROM tot
+UNION ALL
+SELECT 'k_unique', tot.p, COALESCE(dup.n_dup, 0) = 0, tot.n_rows,
+       COALESCE(dup.n_dup, 0)
+FROM tot LEFT JOIN dup ON dup.p = tot.p
+UNION ALL
+SELECT 'lang_fk', p, n_fk = 0, n_rows, n_fk FROM tot
+""",
+)
+def q_verdicts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").withColumn("k", F.col("doc_id") % 50)
+    dim = spark.createDataFrame([(l,) for l in ALLOWED_DOC_LANGS], "lang string")
+    suite = RuleSuite(
+        name="documents_by_lang",
+        rules=[
+            Rule("text_not_blank", "not_blank", ("text",)),
+            Rule("nchars_range", "min_max", ("n_chars",), {"lo": 1, "hi": 1000000}),
+            Rule("min_rows_10", "min_rows", (), {"n": 10}),
+            Rule("k_unique", "unique", ("k",)),
+            Rule("lang_fk", "foreign_key", ("lang",), {"dim": dim}),
+        ],
+        partition_by="lang",
+        key_cols=("doc_id",),
+    )
+    verdicts, _ = validate(docs, suite)
+    return verdicts
