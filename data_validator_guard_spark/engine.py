@@ -486,3 +486,26 @@ def report(verdicts: DataFrame, violations: DataFrame) -> tuple[DataFrame, DataF
         verdicts.orderBy("rule_id", "partition"),
         violations.orderBy("rule_id", "partition", "keys", "detail"),
     )
+
+
+def validate_many(
+    suites: "dict[str, tuple[DataFrame, RuleSuite]]",
+    n_salts: int = DEFAULT_N_SALTS,
+) -> tuple[DataFrame, DataFrame]:
+    """Validate several tables in one run — the reference's ``main()`` walks
+    every configured table through its per-table checks
+    (`/root/reference/main.py:136-150`, `maganamed.py:102-150`); here each
+    table's verdicts/violations union with a ``table`` provenance column.
+    Each table keeps its own fused plans; the union is plan-level (no
+    cross-table shuffle)."""
+    all_v: DataFrame | None = None
+    all_x: DataFrame | None = None
+    for tname, (df, suite) in suites.items():
+        v, x = validate(df, suite, n_salts=n_salts)
+        v = v.select(F.lit(tname).alias("table"), *VERDICT_COLS)
+        x = x.select(F.lit(tname).alias("table"), *VIOLATION_COLS)
+        all_v = v if all_v is None else all_v.unionByName(v)
+        all_x = x if all_x is None else all_x.unionByName(x)
+    if all_v is None:
+        raise ValueError("validate_many requires at least one suite")
+    return all_v, all_x

@@ -1621,3 +1621,88 @@ def q_verdicts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verdicts, _ = validate(docs, suite)
     return verdicts
+
+
+# =====================================================================
+# 33. content sha256 invariant (BASELINE.json input_hint) + multi-table
+#     validation run (the reference's main() walking every table).
+# =====================================================================
+@query(
+    "content_sha256",
+    oracle="SELECT doc_id, sha256(text) AS content_sha FROM documents",
+)
+def q_content_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.functions import content_sha256
+
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id", content_sha256("text").alias("content_sha")
+    )
+
+
+@query(
+    "multi_table_verdicts",
+    oracle="""
+SELECT 'documents' AS "table", 'text_not_blank' AS rule_id, '__all__' AS "partition",
+       SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) = 0 AS pass,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS n_violations
+FROM documents
+UNION ALL
+SELECT 'documents', 'lang_fk', '__all__',
+       SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) = 0,
+       COUNT(*),
+       SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END)
+FROM documents
+UNION ALL
+SELECT 'events', 'type_allowed', '__all__',
+       SUM(CASE WHEN event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup') THEN 1 ELSE 0 END) = 0,
+       COUNT(*),
+       SUM(CASE WHEN event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup') THEN 1 ELSE 0 END)
+FROM events
+UNION ALL
+SELECT 'events', 'event_unique', '__all__',
+       (SELECT COALESCE(SUM(n), 0) FROM (
+          SELECT COUNT(*) AS n FROM events GROUP BY event_id HAVING COUNT(*) > 1)) = 0,
+       COUNT(*),
+       (SELECT COALESCE(SUM(n), 0) FROM (
+          SELECT COUNT(*) AS n FROM events GROUP BY event_id HAVING COUNT(*) > 1))
+FROM events
+""",
+)
+def q_multi_table_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.engine import validate_many
+
+    docs = read_table(spark, sf_dir, "documents")
+    events = read_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame([(l,) for l in ALLOWED_DOC_LANGS], "lang string")
+    suites = {
+        "documents": (
+            docs,
+            RuleSuite(
+                "documents",
+                [
+                    Rule("text_not_blank", "not_blank", ("text",)),
+                    Rule("lang_fk", "foreign_key", ("lang",), {"dim": dim}),
+                ],
+                key_cols=("doc_id",),
+            ),
+        ),
+        "events": (
+            events,
+            RuleSuite(
+                "events",
+                [
+                    Rule(
+                        "type_allowed",
+                        "allowed_values",
+                        ("event_type",),
+                        {"values": ["click", "view", "purchase", "signup"]},
+                    ),
+                    Rule("event_unique", "unique", ("event_id",)),
+                ],
+                key_cols=("event_id",),
+            ),
+        ),
+    }
+    verdicts, _ = validate_many(suites)
+    return verdicts

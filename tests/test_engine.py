@@ -191,3 +191,26 @@ def test_range_tolerance_and_derived_equality(spark):
     assert v["de"].n_violations == 1 and not v["de"]["pass"]
     keys = {(r.rule_id, r.keys) for r in violations.collect()}
     assert ("rt", "2") in keys and ("rt", "3") in keys and ("de", "3") in keys
+
+
+def test_validate_many_and_empty_table_semantics(spark):
+    from data_validator_guard_spark.engine import validate, validate_many
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    a = spark.createDataFrame([(1, "x"), (2, None)], "id long, v string")
+    b = spark.createDataFrame([(1,), (1,)], "k long")
+    suites = {
+        "a": (a, RuleSuite("a", [Rule("v_nn", "not_null", ("v",))], key_cols=("id",))),
+        "b": (b, RuleSuite("b", [Rule("k_uniq", "unique", ("k",))], key_cols=("k",))),
+    }
+    verdicts, violations = validate_many(suites)
+    v = {(r.table, r.rule_id): r.n_violations for r in verdicts.collect()}
+    assert v[("a", "v_nn")] == 1 and v[("b", "k_uniq")] == 2
+    assert {r.table for r in violations.collect()} == {"a", "b"}
+
+    # documented semantics: partitions with zero rows produce no verdict rows
+    # (verdicts exist per observed partition value; an empty table yields an
+    # empty verdicts frame, mirroring the reference's "no data -> no report").
+    empty = spark.createDataFrame([], "id long, v string")
+    ev, _ = validate(empty, suites["a"][1])
+    assert ev.count() == 0
