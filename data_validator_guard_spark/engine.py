@@ -343,7 +343,13 @@ def validate(
     row_rules = [r for r in suite.rules if r.type in ROW_LEVEL_TYPES]
     agg_rules = [r for r in suite.rules if r.type in AGG_LEVEL_TYPES]
     unique_rules = [r for r in suite.rules if r.type in ("unique", "unique_normalized")]
-    fk_rules = [r for r in suite.rules if r.type == "foreign_key"]
+    all_fk = [r for r in suite.rules if r.type == "foreign_key"]
+    # single-column FK rules marked ``inline=True`` collect the dim's values
+    # (small by contract: every dim here is broadcastable) and compile to an
+    # isin row-condition — the referential check then fuses into the totals
+    # and violation scans instead of costing a separate table pass per rule.
+    fk_inline = [r for r in all_fk if r.params.get("inline") and len(r.columns) == 1]
+    fk_rules = [r for r in all_fk if r not in fk_inline]
     gc_rules = [r for r in suite.rules if r.type == "group_consistency"]
     drift_rules = [r for r in suite.rules if r.type == "drift"]
 
@@ -351,6 +357,18 @@ def validate(
     # counters, all in ONE aggregation pass per partition. Catalyst prunes the
     # read to the partition expr + the union of rule-referenced columns.
     compiled_rows = [(r, *_row_violation(r)) for r in row_rules]
+    for r in fk_inline:
+        dim: DataFrame = r.params["dim"]
+        dim_col = list(r.params.get("dim_columns", r.columns))[0]
+        vals = [row[0] for row in dim.select(dim_col).distinct().collect()]
+        c = F.col(r.columns[0])
+        cond = c.isNull() | ~c.isin(vals)
+        detail = F.concat(
+            F.lit("unknown value in reference: "),
+            F.coalesce(c.cast("string"), F.lit("NULL")),
+        )
+        compiled_rows.append((r, cond, detail))
+    row_rules = row_rules + fk_inline
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
     for r in agg_rules:
         n_viol, ok = _agg_measures(r)

@@ -1682,7 +1682,7 @@ def q_multi_table_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "documents",
                 [
                     Rule("text_not_blank", "not_blank", ("text",)),
-                    Rule("lang_fk", "foreign_key", ("lang",), {"dim": dim}),
+                    Rule("lang_fk", "foreign_key", ("lang",), {"dim": dim, "inline": True}),
                 ],
                 key_cols=("doc_id",),
             ),

@@ -38,7 +38,9 @@ def source_code_suite(
             "lang_in_dim",
             "foreign_key",
             ("lang",),
-            {"dim": allowed_langs_dim(spark)},
+            # inline: the ~40-value dim collapses to an isin fused into the
+            # totals + violation scans — no separate referential table pass.
+            {"dim": allowed_langs_dim(spark), "inline": True},
         ),
     ]
     if baseline_hist is not None:
