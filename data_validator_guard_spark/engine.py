@@ -27,9 +27,8 @@ Execution strategy (the part the reference could not have — SURVEY.md §4):
    group_consistency / drift each produce a *weighted* violations fragment
    (weight = offending-row count per emitted key); verdicts join per-(rule,
    partition) weight sums against the totals. Fragment outputs are small
-   (aggregations / anti-joins); forcing verdicts and violations separately
-   recomputes them, which measured cheaper than persisting the union
-   (``persist_violations=True`` restores the cache).
+   (aggregations / anti-joins — never row-level violation rows), so the
+   union is persisted by default and shared between the two outputs.
 
 Operator choices:
 - **unique**: salted two-phase hash aggregation (north rule): phase 1 groups
@@ -312,7 +311,7 @@ def validate(
     df: DataFrame,
     suite: RuleSuite,
     n_salts: int = DEFAULT_N_SALTS,
-    persist_violations: bool = False,
+    persist_violations: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Run every rule in ``suite`` over ``df``.
 
@@ -323,12 +322,13 @@ def validate(
 
     Both are lazy. Verdicts for row- and table-level rules come entirely from
     the single fused totals aggregation — materializing only verdicts never
-    touches the violation-row scan. ``persist_violations=True`` caches the
-    plan-level fragment union so sinking both outputs shares those subplans;
-    measured on local[32] the fragments (small aggregation/anti-join outputs)
-    are usually cheaper to recompute, so the default is False — callers that
-    persist violations to a sink should instead compute verdicts from the
-    stored result (see ledger module).
+    touches the violation-row scan. ``persist_violations=True`` (default)
+    caches the plan-level fragment union (small: aggregation / anti-join /
+    drift outputs — row-level violation rows are NOT in it) so sinking both
+    outputs shares the unique/drift subplans instead of recomputing them;
+    measured ~1.4x faster on the flagship suite at 8M rows. Pass False for
+    verdict-only runs that should leave no cached state, and ``unpersist()``
+    the cached frame in long-lived sessions.
     """
     spark = df.sparkSession
     # null-safe partition value: verdict/violation counts join on partition,

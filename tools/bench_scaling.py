@@ -40,7 +40,17 @@ def _workload(spark):
     from data_validator_guard_spark.suites import source_code_suite
 
     src = spark.read.parquet(SYNTH_PATH)
-    suite = source_code_suite(spark)
+    base_path = SYNTH_PATH + ".basehist"
+    if not os.path.exists(base_path):
+        from pyspark.sql import functions as F
+
+        from data_validator_guard_spark.operators.drift import histogram
+        from data_validator_guard_spark.suites import LENGTH_EDGES
+
+        histogram(src, "lang", F.expr("length(content)"), LENGTH_EDGES).write.mode(
+            "overwrite"
+        ).parquet(base_path)
+    suite = source_code_suite(spark, baseline_hist=spark.read.parquet(base_path))
     verdicts, violations = validate(src, suite)
     # both outputs are sunk concurrently (a real run writes both anyway);
     # overlapping the two jobs hides per-job scheduling latency.
