@@ -369,16 +369,91 @@ def validate(
         )
         compiled_rows.append((r, cond, detail))
     row_rules = row_rules + fk_inline
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
-    for r in agg_rules:
-        n_viol, ok = _agg_measures(r)
-        aggs.append(n_viol.alias(f"__v_{r.rule_id}"))
-        aggs.append(ok.alias(f"__p_{r.rule_id}"))
-    for r, cond, _detail in compiled_rows:
-        aggs.append(
-            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("bigint").alias(f"__v_{r.rule_id}")
+
+    # When exactly one drift rule is present (the north-rule shape), the
+    # totals scan groups by (partition, drift group, length bucket) instead of
+    # partition alone: the drift rule's *current histogram falls out of the
+    # same pass* (no second scan of the heavy value column), and the totals
+    # re-aggregate from the tiny fine-grained result. Requires every measure
+    # to be decomposable — counters re-aggregate by SUM, cardinality switches
+    # from approx_count_distinct to a mergeable HLL sketch
+    # (hll_sketch_agg → hll_union_agg → hll_sketch_estimate). Rules with
+    # exact cardinality fall back to the direct path.
+    fuse_drift = len(drift_rules) == 1 and not any(
+        r.type == "cardinality_range" and r.params.get("exact") for r in agg_rules
+    )
+    drift_cur: DataFrame | None = None
+    if fuse_drift:
+        from data_validator_guard_spark.operators.drift import bucketize
+
+        dr = drift_rules[0]
+        fine_aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+        final_aggs: list[Column] = [F.sum("__n").alias("__n_rows")]
+        n_rows_final = F.sum("__n")
+        for i, r in enumerate(agg_rules):
+            p = r.params
+            if r.type == "null_rate_max":
+                fine_aggs.append(
+                    F.sum(is_blank(r.columns[0]).cast("bigint")).alias(f"__f{i}")
+                )
+                blanks = F.sum(f"__f{i}")
+                final_aggs.append(blanks.cast("bigint").alias(f"__v_{r.rule_id}"))
+                final_aggs.append(
+                    (blanks / n_rows_final <= F.lit(float(p["max_rate"]))).alias(
+                        f"__p_{r.rule_id}"
+                    )
+                )
+            elif r.type == "min_rows":
+                ok = n_rows_final >= F.lit(int(p["n"]))
+                final_aggs.append(
+                    F.when(ok, F.lit(0)).otherwise(F.lit(1)).cast("bigint").alias(f"__v_{r.rule_id}")
+                )
+                final_aggs.append(ok.alias(f"__p_{r.rule_id}"))
+            elif r.type == "cardinality_range":
+                fine_aggs.append(F.hll_sketch_agg(F.col(r.columns[0])).alias(f"__f{i}"))
+                card = F.hll_sketch_estimate(F.hll_union_agg(F.col(f"__f{i}")))
+                lo, hi = int(p.get("lo", 0)), p.get("hi")
+                ok = card >= F.lit(lo)
+                if hi is not None:
+                    ok = ok & (card <= F.lit(int(hi)))
+                final_aggs.append(
+                    F.when(ok, F.lit(0)).otherwise(F.lit(1)).cast("bigint").alias(f"__v_{r.rule_id}")
+                )
+                final_aggs.append(ok.alias(f"__p_{r.rule_id}"))
+            else:  # pragma: no cover - AGG_LEVEL_TYPES is closed
+                raise ValueError(f"not an agg-level rule: {r.type}")
+        for r, cond, _detail in compiled_rows:
+            fine_aggs.append(
+                F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("bigint").alias(f"__fv_{r.rule_id}")
+            )
+            final_aggs.append(F.sum(f"__fv_{r.rule_id}").cast("bigint").alias(f"__v_{r.rule_id}"))
+        fine = (
+            df.groupBy(
+                part.alias("partition"),
+                F.col(dr.params["group_by"]).alias("__grp"),
+                bucketize(F.expr(dr.params["value"]), dr.params["edges"]).alias("__bucket"),
+            )
+            .agg(*fine_aggs)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    totals = df.groupBy(part.alias("partition")).agg(*aggs)
+        totals = fine.groupBy("partition").agg(*final_aggs)
+        drift_cur = fine.select(
+            "partition",
+            F.col("__grp").alias("grp"),
+            F.col("__bucket").alias("bucket"),
+            F.col("__n").alias("n"),
+        )
+    else:
+        aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+        for r in agg_rules:
+            n_viol, ok = _agg_measures(r)
+            aggs.append(n_viol.alias(f"__v_{r.rule_id}"))
+            aggs.append(ok.alias(f"__p_{r.rule_id}"))
+        for r, cond, _detail in compiled_rows:
+            aggs.append(
+                F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("bigint").alias(f"__v_{r.rule_id}")
+            )
+        totals = df.groupBy(part.alias("partition")).agg(*aggs)
 
     # ---- violations: one fused scan for all row-level rules (executed only
     # when the violations output is sunk), plus one fragment per plan-level
@@ -416,7 +491,7 @@ def validate(
     for r in drift_rules:
         from data_validator_guard_spark.operators.drift import drift_violations
 
-        fragments.append(drift_violations(df, r, part))
+        fragments.append(drift_violations(df, r, part, cur=drift_cur))
 
     empty_w = spark.createDataFrame(
         [], "rule_id string, partition string, keys string, detail string, weight bigint"

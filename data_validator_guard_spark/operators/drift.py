@@ -105,10 +105,17 @@ def psi_report(
     )
 
 
-def drift_violations(df: DataFrame, rule: Rule, part: Column) -> DataFrame:
+def drift_violations(
+    df: DataFrame, rule: Rule, part: Column, cur: DataFrame | None = None
+) -> DataFrame:
     """Engine integration: rule params are ``group_by`` (column), ``value``
     (SQL expr string, e.g. ``length(content)``), ``edges`` (fixed constants),
     ``baseline`` (DataFrame grp/bucket/n), ``threshold`` (max PSI).
+
+    ``cur`` optionally supplies the precomputed current histogram
+    ``(partition, grp, bucket, n)`` — the engine passes the fine-grained
+    totals aggregation here so the drift check adds NO extra scan of the
+    value column.
 
     Returns a weighted violations fragment
     ``(rule_id, partition, keys, detail, weight)`` — one row per drifted
@@ -121,9 +128,10 @@ def drift_violations(df: DataFrame, rule: Rule, part: Column) -> DataFrame:
     threshold = float(p.get("threshold", 0.2))
     baseline: DataFrame = p["baseline"]
 
-    cur = df.groupBy(
-        part.alias("partition"), F.col(group_col).alias("grp"), bucketize(value, edges).alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    if cur is None:
+        cur = df.groupBy(
+            part.alias("partition"), F.col(group_col).alias("grp"), bucketize(value, edges).alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("n"))
     # baseline is (grp, bucket, n) — constant across partitions; PSI runs per
     # (partition, group) by carrying partition through the group key.
     joined = (

@@ -60,6 +60,33 @@ def _workload(spark):
         f1.result(); f2.result()
 
 
+def control_worker(cpus: int) -> None:
+    """Pure-CPU control: embarrassingly parallel spark.range sum, no I/O —
+    measures the HOST's own scaling ceiling at this core pair. Any engine
+    efficiency at or above this number is substrate-limited, not plan-limited."""
+    from data_validator_guard_spark.session import get_session
+
+    n = int(os.environ.get("DVG_CONTROL_N", str(4_000_000_000)))
+    spark = get_session(
+        f"dvg-control-{cpus}", master=f"local[{cpus}]",
+        extra_confs={"spark.sql.shuffle.partitions": str(cpus * 2)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def job():
+        spark.range(0, n, 1, cpus * 8).selectExpr(
+            "sum((id % 1000000) * 3 + (id % 7)) as s"
+        ).write.format("noop").mode("overwrite").save()
+
+    job()
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        job()
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"cpus": cpus, "sec": best, "rows_per_sec": n / best}))
+
+
 def worker(cpus: int) -> None:
     from data_validator_guard_spark.session import get_session
 
@@ -143,5 +170,21 @@ Reproduce: `python tools/bench_scaling.py` (env: DVG_SCALE_ROWS, DVG_SCALE_REPEA
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]))
+    elif len(sys.argv) > 2 and sys.argv[1] == "--control-worker":
+        control_worker(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--control":
+        results = {N_SMALL: None, N_LARGE: None}
+        for cpus in (N_SMALL, N_LARGE, N_SMALL, N_LARGE):
+            out = subprocess.run(
+                [sys.executable, __file__, "--control-worker", str(cpus)],
+                capture_output=True, text=True, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if results[cpus] is None or r["sec"] < results[cpus]["sec"]:
+                results[cpus] = r
+            print(line)
+        eff = results[N_LARGE]["rows_per_sec"] / (4 * results[N_SMALL]["rows_per_sec"])
+        print(f"control_efficiency={eff:.3f}")
     else:
         orchestrate()
