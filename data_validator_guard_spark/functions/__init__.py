@@ -14,9 +14,15 @@ from pyspark.sql import functions as F
 
 def is_blank(c: Column | str) -> Column:
     """Null OR empty-after-strip — the reference's unified "missing" test
-    (`maganamed_validation.py:197-198`, `general_id_cleaning.py:263`)."""
+    (`maganamed_validation.py:197-198`, `general_id_cleaning.py:263`).
+
+    Implemented as an anchored regex rather than ``trim(c) = ''``: both
+    Spark's and ANSI ``trim`` strip only spaces, so ``rlike('^ *$')`` is
+    semantically identical — but it rejects a non-blank value at its first
+    non-space byte instead of copying the whole string (on multi-KB content
+    columns the trim form allocated a full copy per row per scan)."""
     col = F.col(c) if isinstance(c, str) else c
-    return col.isNull() | (F.trim(col.cast("string")) == F.lit(""))
+    return col.isNull() | col.cast("string").rlike("^ *$")
 
 
 def normalized(c: Column | str) -> Column:

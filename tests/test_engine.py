@@ -214,3 +214,53 @@ def test_validate_many_and_empty_table_semantics(spark):
     empty = spark.createDataFrame([], "id long, v string")
     ev, _ = validate(empty, suites["a"][1])
     assert ev.count() == 0
+
+
+def test_fused_drift_totals_matches_fallback(spark):
+    """The (partition, group, bucket) fused totals path must be invisible:
+    identical verdicts whether drift shares the totals scan (approx
+    cardinality -> HLL) or runs the direct path (exact cardinality forces
+    the fallback)."""
+    from pyspark.sql import functions as F
+
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.operators.drift import histogram
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    rows = [
+        (i, "g" + str(i % 3), "x" * (10 + (i * 7) % 50), None if i % 10 == 0 else "v")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, content string, v string")
+    edges = [0.0, 20.0, 40.0, 60.0]
+    baseline = histogram(df, "grp", F.length("content"), edges)
+
+    def mk_suite(exact: bool) -> RuleSuite:
+        return RuleSuite(
+            "fuse",
+            [
+                Rule("v_not_blank", "not_blank", ("v",)),
+                Rule("grp_card", "cardinality_range", ("grp",), {"lo": 1, "hi": 10, "exact": exact}),
+                Rule("null_rate", "null_rate_max", ("v",), {"max_rate": 0.5}),
+                Rule(
+                    "len_drift",
+                    "drift",
+                    ("content",),
+                    {
+                        "group_by": "grp",
+                        "value": "length(content)",
+                        "edges": edges,
+                        "baseline": baseline,
+                        "threshold": 10.0,  # high: no violations either way
+                    },
+                ),
+            ],
+            key_cols=("id",),
+        )
+
+    v_fused, _ = validate(df, mk_suite(exact=False))     # fused path
+    v_direct, _ = validate(df, mk_suite(exact=True))     # fallback path
+    fused = {(r.rule_id): (r["pass"], r.n_rows, r.n_violations) for r in v_fused.collect()}
+    direct = {(r.rule_id): (r["pass"], r.n_rows, r.n_violations) for r in v_direct.collect()}
+    assert fused == direct
+    assert fused["v_not_blank"] == (False, 300, 30)

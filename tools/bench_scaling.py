@@ -26,7 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ROWS = int(os.environ.get("DVG_SCALE_ROWS", "16000000"))
+ROWS = int(os.environ.get("DVG_SCALE_ROWS", "32000000"))
 REPEATS = int(os.environ.get("DVG_SCALE_REPEATS", "2"))
 SYNTH_PATH = f"/tmp/dvg_bench/synth_{ROWS}.parquet"
 N_SMALL = int(os.environ.get("DVG_SCALE_N", "2"))
@@ -146,7 +146,7 @@ CPUs, one JVM per leg, legs interleaved, warm, best post-warmup run per level).
 Workload: full source-code rule suite (path/commit regex, blank checks,
 null-rate, cardinality, salted uniqueness on (repo,path,commit), lang
 referential FK) with violation-row emission, over a {ROWS:,}-row deterministic
-synthetic (repo, path, commit, lang, content) table (~1.5 KB content/row, one
+synthetic (repo, path, commit, lang, content) table (~0.9 KB uncompressed content/row, one
 hot repo holding ~30% of rows) pre-materialized to parquet.
 
 | parallelism | wall sec | validated rows/sec |
