@@ -1706,3 +1706,104 @@ def q_multi_table_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     verdicts, _ = validate_many(suites)
     return verdicts
+
+
+# =====================================================================
+# 34. Temporal operators (operators/temporal.py): as-of join (checked
+#     against DuckDB's native ASOF JOIN), gap sessionization, and an
+#     interval range join.
+# =====================================================================
+@query(
+    "asof_last_purchase",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, MAX(value) AS pval
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, p.pval AS pval_asof
+FROM events e
+ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event, the most recent prior (or simultaneous) purchase
+    value of the same user — ASOF LEFT JOIN via the union+carry-forward
+    window (one shuffle on the key, no range explosion)."""
+    from data_validator_guard_spark.operators.temporal import asof_join
+
+    events = read_table(spark, sf_dir, "events")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    joined = asof_join(
+        events, purchases, key="user_id", left_ts="ts", right_ts="ts", value_cols=["pval"]
+    )
+    return joined.select("event_id", "user_id", F.col("pval_asof"))
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+WITH x AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT event_id, user_id,
+       SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) - 1 AS session_seq,
+       CAST(user_id AS VARCHAR) || '#' ||
+       CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) - 1 AS VARCHAR) AS session_id
+FROM x
+""",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-minute-gap sessions per user (lag + conditional cumsum; equal-ts
+    ties land in the same session in any engine, so results are total-order
+    independent)."""
+    from data_validator_guard_spark.operators.temporal import sessionize
+
+    events = read_table(spark, sf_dir, "events")
+    return sessionize(events, key="user_id", ts="ts", gap_minutes=60.0).select(
+        "event_id", "user_id", "session_seq", "session_id"
+    )
+
+
+@query(
+    "events_after_signup_week",
+    oracle="""
+SELECT s.event_id AS signup_event, s.user_id, COUNT(*) AS n_events
+FROM events s
+JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts >= s.ts
+ AND e.ts < s.ts + INTERVAL 7 DAY
+WHERE s.event_type = 'signup'
+GROUP BY s.event_id, s.user_id
+""",
+)
+def q_events_after_signup_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: all events within [signup, signup+7d) per user.
+    The equi key (user) carries the hash join; the range predicate is a
+    post-join filter — no nested loop."""
+    events = read_table(spark, sf_dir, "events")
+    s = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event"),
+        F.col("user_id").alias("su"),
+        F.col("ts").alias("sts"),
+    )
+    joined = events.join(
+        s,
+        (events.user_id == s.su)
+        & (events.ts >= s.sts)
+        & (events.ts < F.timestamp_add("DAY", F.lit(7), s.sts)),
+    )
+    return joined.groupBy("signup_event", F.col("su").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

@@ -252,3 +252,44 @@ def test_multimodal_resize_and_frames(spark):
     assert len(frames) == 6
     by_key = {(r.doc_id, r.frame_idx): r.frame_sha for r in frames}
     assert by_key[(1, 2)] == hashlib.sha256(b"hello:2").hexdigest()
+
+
+def test_asof_join_semantics(spark):
+    from data_validator_guard_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 2), ("a", 5, 3), ("b", 10, 4)],
+        "k string, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 100.0), ("a", 15, 150.0), ("c", 1, 999.0)],
+        "k string, t long, val double",
+    )
+    got = {
+        r.lid: r.val_asof
+        for r in asof_join(left, right, "k", "t", "t", ["val"]).collect()
+    }
+    assert got[1] == 100.0   # equal ts: right row visible
+    assert got[2] == 150.0   # latest right <= 20
+    assert got[3] is None    # no prior right row
+    assert got[4] is None    # key with no right rows
+
+
+def test_sessionize_gaps(spark):
+    import datetime as dt
+
+    from data_validator_guard_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    df = spark.createDataFrame(
+        [(1, ts(0), "a"), (1, ts(10), "b"), (1, ts(100), "c"), (2, ts(0), "d")],
+        "uid long, ts timestamp, tag string",
+    )
+    got = {r.tag: (r.session_seq, r.session_id) for r in sessionize(df, "uid", "ts", 30.0).collect()}
+    assert got["a"] == (0, "1#0") and got["b"] == (0, "1#0")
+    assert got["c"] == (1, "1#1")
+    assert got["d"] == (0, "2#0")
