@@ -1807,3 +1807,55 @@ def q_events_after_signup_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("signup_event", F.col("su").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+# =====================================================================
+# 35. Rollup and pivot shapes (multi-level aggregation surface).
+# =====================================================================
+@query(
+    "revenue_rollup",
+    oracle="""
+SELECT COALESCE(l_returnflag, '__total__') AS returnflag,
+       COALESCE(l_linestatus, '__total__') AS linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("__total__")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("__total__")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "events_pivot",
+    oracle="""
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup
+FROM events GROUP BY user_id
+""",
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup"])
+    )

@@ -86,3 +86,63 @@ def test_unique_hash_mode_shuffles_hashes_not_strings(spark, docs):
     s = plans.plan_string(violations)
     # the exchange must carry the 64-bit hash column, not raw text
     assert "xxhash64" in s
+
+
+def test_verdicts_single_totals_execution(spark, docs):
+    """The verdict unpivot must execute the totals aggregation ONCE: the plan
+    contains exactly one parquet scan no matter how many row/agg rules the
+    suite has (regression: per-rule union branches re-ran the whole scan)."""
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    suite = RuleSuite(
+        "p",
+        [
+            Rule("a", "not_blank", ("lang",)),
+            Rule("b", "regex_match", ("source",), {"pattern": "^src"}),
+            Rule("c", "min_max", ("n_chars",), {"lo": 0, "hi": 10**9}),
+            Rule("d", "null_rate_max", ("lang",), {"max_rate": 0.5}),
+            Rule("e", "min_rows", (), {"n": 1}),
+        ],
+        partition_by="lang",
+    )
+    verdicts, _ = validate(docs, suite)
+    schemas = plans.scan_read_schemas(verdicts)
+    assert len(schemas) == 1, f"expected 1 scan, got {len(schemas)}: {schemas}"
+
+
+def test_fused_drift_adds_no_extra_scan(spark, docs):
+    """With a drift rule, the current histogram must come from the fused
+    totals aggregation — 1 scan of the data + 1 scan of the baseline, never
+    a second scan of the value column."""
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.operators.drift import histogram
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    edges = [0.0, 100.0, 300.0]
+    baseline = histogram(docs, "lang", F.length("text"), edges)
+    suite = RuleSuite(
+        "p",
+        [
+            Rule("nb", "not_blank", ("text",)),
+            Rule(
+                "dr",
+                "drift",
+                ("text",),
+                {
+                    "group_by": "lang",
+                    "value": "length(text)",
+                    "edges": edges,
+                    "baseline": baseline,
+                    "threshold": 0.2,
+                },
+            ),
+        ],
+        partition_by="source",
+    )
+    verdicts, _ = validate(docs, suite)
+    s = plans.plan_string(verdicts)
+    assert "InMemoryTableScan" in s or "InMemoryRelation" in s, "fine agg not cached/shared"
+    # scans: the fused fine aggregation's one data scan + the baseline's scan
+    schemas = plans.scan_read_schemas(verdicts)
+    assert len(schemas) <= 2, f"expected <=2 scans, got {len(schemas)}: {schemas}"
