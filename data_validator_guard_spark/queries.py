@@ -1859,3 +1859,29 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["click", "view", "purchase", "signup"])
     )
+
+
+# =====================================================================
+# 36. Exact percentiles per group (numeric column-stats extension) — exact
+#     `percentile` (Spark) vs `quantile_cont` (DuckDB), same linear-
+#     interpolation definition; decimal cast absorbs last-ulp divergence.
+# =====================================================================
+@query(
+    "nchars_percentiles",
+    oracle="""
+SELECT lang,
+       CAST(quantile_cont(n_chars, 0.25) AS DECIMAL(18,4)) AS p25,
+       CAST(quantile_cont(n_chars, 0.5)  AS DECIMAL(18,4)) AS p50,
+       CAST(quantile_cont(n_chars, 0.75) AS DECIMAL(18,4)) AS p75,
+       COUNT(*) AS n
+FROM documents GROUP BY lang
+""",
+)
+def q_nchars_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.25)).cast("decimal(18,4)").alias("p25"),
+        F.percentile("n_chars", F.lit(0.5)).cast("decimal(18,4)").alias("p50"),
+        F.percentile("n_chars", F.lit(0.75)).cast("decimal(18,4)").alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
