@@ -117,6 +117,32 @@ def main() -> None:
     _force(violations)
     validate_sec = time.perf_counter() - t0
     timings["validate_synth"] = round(validate_sec, 3)
+    n_violations = violations.count()  # cached fragments + cheap row recount
+
+    # per-suite breakdown (BASELINE.md protocol item 4): time each rule
+    # family standalone so regressions are attributable.
+    from data_validator_guard_spark.rules import (
+        AGG_LEVEL_TYPES,
+        ROW_LEVEL_TYPES,
+        RuleSuite,
+    )
+
+    breakdown = {}
+    families = {
+        "row_agg": [r for r in suite.rules if r.type in ROW_LEVEL_TYPES | AGG_LEVEL_TYPES
+                    or (r.type == "foreign_key" and r.params.get("inline"))],
+        "unique": [r for r in suite.rules if r.type in ("unique", "unique_normalized")],
+        "drift": [r for r in suite.rules if r.type == "drift"],
+    }
+    for fam, rules in families.items():
+        if not rules:
+            continue
+        sub = RuleSuite(suite.name + "_" + fam, rules, suite.partition_by, suite.key_cols)
+        t0 = time.perf_counter()
+        v, x = validate(src, sub)
+        _force(v)
+        _force(x)
+        breakdown[fam] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -127,6 +153,9 @@ def main() -> None:
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "synth_rows": SYNTH_ROWS,
         "validated_rows_per_sec": round(SYNTH_ROWS / validate_sec, 1),
+        "violations": n_violations,
+        "violations_per_sec": round(n_violations / validate_sec, 1),
+        "validate_breakdown": breakdown,
         "cpus": cpus,
     }
     print(json.dumps(out))
