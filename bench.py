@@ -69,8 +69,18 @@ def main() -> None:
     from data_validator_guard_spark.suites import source_code_suite
     from data_validator_guard_spark.synth import source_code_table
 
-    # warm-up: JVM/codegen paths
+    # warm-up: JVM + every headline plan shape at the smallest sf (codegen is
+    # cached per plan shape, so the timed sf run measures execution, not
+    # Janino compilation — the cluster steady state).
     _force(spark.range(1000000).selectExpr("sum(id) as s"))
+    warm_sf = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is not None and os.path.isdir(warm_sf):
+            try:
+                _force(fn(spark, warm_sf))
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
