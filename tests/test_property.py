@@ -66,3 +66,36 @@ def test_range_and_derived_counts_match_python(spark, rows):
     vc = Counter(r.rule_id for r in violations.collect())
     assert vc.get("v_near_2", 0) == expected_range
     assert vc.get("k_is_hot", 0) == expected_derived
+
+
+asof_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(min_value=0, max_value=20)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=asof_rows, right=asof_rows)
+def test_asof_join_matches_python_oracle(spark, left, right):
+    from data_validator_guard_spark.operators.temporal import asof_join
+
+    # right side must have unique (key, ts) — the operator's documented
+    # contract (callers dedupe); value = ts*10 keeps it checkable.
+    rmap = {}
+    for k, t in right:
+        rmap[(k, t)] = float(t * 10)
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k string, t long, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rmap.items()], "k string, t long, val double"
+    )
+    got = {
+        r.lid: r.val_asof
+        for r in asof_join(ldf, rdf, "k", "t", "t", ["val"]).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cand = [(rt, v) for (rk, rt), v in rmap.items() if rk == k and rt <= t]
+        want = max(cand)[1] if cand else None
+        assert got[i] == want, (i, k, t, got[i], want)
