@@ -13,7 +13,7 @@ across engines for oracle comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 WORD_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish pre-tokenizer split
@@ -116,3 +116,46 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp")
     )
+
+
+def closest_allowed_value(
+    df: DataFrame, col: str, allowed: list[str], id_col: str, max_distance: int = 3
+) -> DataFrame:
+    """Typo repair suggestions: for values outside the allowed set, the
+    nearest allowed value by Levenshtein distance (ties broken
+    lexicographically), or NULL when nothing is within ``max_distance``.
+
+    The reference's mock fixture plants exactly this defect class
+    ('Londen'/'Pariss' vs {'London','Paris'}, validation/testing/
+    mock_data.py:3-28) and checks membership only; the engine adds the
+    suggestion. Distributed shape: broadcast the (small) allowed list,
+    score |allowed| candidates per offending row — offending rows only,
+    never the clean majority.
+    """
+    allowed_df = df.sparkSession.createDataFrame([(a,) for a in allowed], "allowed string")
+    bad = df.select(F.col(id_col).alias("id"), F.col(col).alias("value")).filter(
+        F.col("value").isNotNull() & ~F.col("value").isin(allowed)
+    )
+    scored = bad.crossJoin(F.broadcast(allowed_df)).withColumn(
+        "dist", F.levenshtein(F.col("value"), F.col("allowed"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("dist"), F.col("allowed"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "id",
+            "value",
+            F.when(F.col("dist") <= max_distance, F.col("allowed")).alias("suggestion"),
+            F.when(F.col("dist") <= max_distance, F.col("dist")).alias("distance"),
+        )
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Exact top-k most frequent values (skew diagnosis for salting / AQE
+    tuning): two-phase hash count then a k-row total-order take; the count
+    shuffle carries one row per distinct value, not per input row."""
+    counts = df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("value"))
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

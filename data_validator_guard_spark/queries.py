@@ -1885,3 +1885,59 @@ def q_nchars_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("n_chars", F.lit(0.75)).cast("decimal(18,4)").alias("p75"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# =====================================================================
+# 37. Typo suggestions (the reference's mock-fixture defect class) and
+#     exact heavy hitters (skew diagnosis).
+# =====================================================================
+@query(
+    "typo_suggestions",
+    oracle="""
+WITH bad AS (
+  SELECT doc_id AS id,
+         source || CASE WHEN doc_id % 3 = 0 THEN 'x' ELSE '' END AS value
+  FROM documents
+  WHERE doc_id % 3 = 0
+),
+allowed AS (SELECT 'src' || CAST(unnest(generate_series(0, 19)) AS VARCHAR) AS a),
+scored AS (
+  SELECT b.id, b.value, a.a, levenshtein(b.value, a.a) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY b.id
+                            ORDER BY levenshtein(b.value, a.a), a.a) AS rn
+  FROM bad b CROSS JOIN allowed a
+)
+SELECT id, value,
+       CASE WHEN dist <= 3 THEN a END AS suggestion,
+       CASE WHEN dist <= 3 THEN dist END AS distance
+FROM scored WHERE rn = 1
+""",
+)
+def q_typo_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant 'srcNx' typos on every third doc and repair them against the
+    allowed src0..src19 dictionary (mock_data.py city-typo class)."""
+    from data_validator_guard_spark.operators.text import closest_allowed_value
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    typod = docs.select(
+        "doc_id", F.concat(F.col("source"), F.lit("x")).alias("typod_source")
+    )
+    return closest_allowed_value(
+        typod, "typod_source", [f"src{i}" for i in range(20)], "doc_id"
+    )
+
+
+@query(
+    "heavy_hitter_users",
+    oracle="""
+SELECT value, n, rank FROM (
+  SELECT user_id AS value, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rank
+  FROM events GROUP BY user_id
+) WHERE rank <= 10
+""",
+)
+def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import heavy_hitters
+
+    return heavy_hitters(read_table(spark, sf_dir, "events"), "user_id", k=10)

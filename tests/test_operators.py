@@ -293,3 +293,24 @@ def test_sessionize_gaps(spark):
     assert got["a"] == (0, "1#0") and got["b"] == (0, "1#0")
     assert got["c"] == (1, "1#1")
     assert got["d"] == (0, "2#0")
+
+
+def test_closest_allowed_value_mock_typos(spark):
+    """The reference's own mock defect class (validation/testing/
+    mock_data.py): city typos repaired against the valid set."""
+    from data_validator_guard_spark.operators.text import closest_allowed_value
+
+    df = spark.createDataFrame(
+        [(1, "Londen"), (2, "Pariss"), (3, "London"), (4, "Qqqqqqqq")],
+        "id long, city string",
+    )
+    got = {
+        r.id: (r.suggestion, r.distance)
+        for r in closest_allowed_value(
+            df, "city", ["New York", "London", "Paris"], "id"
+        ).collect()
+    }
+    assert got[1] == ("London", 1)
+    assert got[2] == ("Paris", 1)
+    assert 3 not in got            # valid value: no row emitted
+    assert got[4] == (None, None)  # nothing within max_distance
