@@ -100,3 +100,75 @@ def column_stats(
         "s.sum_len",
         "s.n_regex_match",
     )
+
+
+# ------------------------------------------------- incremental (mergeable)
+PARTIAL_STATS_COLS = (
+    "partition", "column", "n_rows", "n_null", "n_blank", "hll_sketch",
+    "min_val", "max_val", "sum_len",
+)
+
+
+def partial_column_stats(
+    df: DataFrame,
+    columns: list[str],
+    partition_by: str = "'__all__'",
+) -> DataFrame:
+    """Mergeable per-partition stat sketches — the incremental-validation
+    path at 10^12 rows: validate each new partition/snapshot once, store its
+    partial stats, and answer table-level stats by MERGING partials
+    (``merge_column_stats``) instead of rescanning history.
+
+    All measures are algebraic (counts/sums/min/max) except cardinality,
+    which is carried as a HyperLogLog sketch (``hll_sketch_agg``) — merge =
+    ``hll_union_agg``, estimate = ``hll_sketch_estimate``, identical to
+    estimating over the full data.
+    """
+    part = F.expr(partition_by).cast("string").alias("partition")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        col = F.col(c)
+        s = col.cast("string")
+        aggs += [
+            F.sum(col.isNull().cast("bigint")).alias(f"{c}__n_null"),
+            F.sum(is_blank(col).cast("bigint")).alias(f"{c}__n_blank"),
+            F.hll_sketch_agg(col).alias(f"{c}__hll"),
+            F.min(s).alias(f"{c}__min_val"),
+            F.max(s).alias(f"{c}__max_val"),
+            F.sum(F.coalesce(F.length(s), F.lit(0)).cast("bigint")).alias(f"{c}__sum_len"),
+        ]
+    wide = df.groupBy(part).agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_blank").alias("n_blank"),
+            F.col(f"{c}__hll").alias("hll_sketch"),
+            F.col(f"{c}__min_val").alias("min_val"),
+            F.col(f"{c}__max_val").alias("max_val"),
+            F.col(f"{c}__sum_len").alias("sum_len"),
+        )
+        for c in columns
+    ]
+    return wide.select("partition", "n_rows", F.explode(F.array(*structs)).alias("s")).select(
+        "partition", "s.column", "n_rows", "s.n_null", "s.n_blank", "s.hll_sketch",
+        "s.min_val", "s.max_val", "s.sum_len",
+    )
+
+
+def merge_column_stats(partials: DataFrame) -> DataFrame:
+    """Merge partial stat rows (any number of partitions/snapshots) into one
+    table-level stats row per column. Counts/sums add, min/max fold, HLL
+    sketches union — no source data touched."""
+    return (
+        partials.groupBy("column")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_null").alias("n_null"),
+            F.sum("n_blank").alias("n_blank"),
+            F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias("n_distinct"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+            F.sum("sum_len").alias("sum_len"),
+        )
+    )

@@ -314,3 +314,26 @@ def test_closest_allowed_value_mock_typos(spark):
     assert got[2] == ("Paris", 1)
     assert 3 not in got            # valid value: no row emitted
     assert got[4] == (None, None)  # nothing within max_distance
+
+
+def test_partial_stats_merge_equals_full(spark):
+    """Incremental stats: partials computed per half and merged must equal
+    the same measures computed over the whole table (HLL union estimate
+    included — same sketch family, same result)."""
+    from data_validator_guard_spark.operators.stats import (
+        merge_column_stats,
+        partial_column_stats,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = df.filter(F.col("doc_id") % 2 == 0)
+    b = df.filter(F.col("doc_id") % 2 == 1)
+    merged = merge_column_stats(
+        partial_column_stats(a, ["lang", "source"]).unionByName(
+            partial_column_stats(b, ["lang", "source"])
+        )
+    )
+    full = merge_column_stats(partial_column_stats(df, ["lang", "source"]))
+    m = {r.column: r.asDict() for r in merged.collect()}
+    f = {r.column: r.asDict() for r in full.collect()}
+    assert m == f
