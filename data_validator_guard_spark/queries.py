@@ -1941,3 +1941,63 @@ def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_validator_guard_spark.operators.text import heavy_hitters
 
     return heavy_hitters(read_table(spark, sf_dir, "events"), "user_id", k=10)
+
+
+# =====================================================================
+# 38. Verdict regression diff across two snapshots (operators/compare.py):
+#     snapshot A = even doc_ids, snapshot B = all docs (zh rows planted in
+#     the odd half change FK counts; count drift + appearances covered).
+# =====================================================================
+@query(
+    "verdict_regressions",
+    oracle="""
+WITH a AS (
+  SELECT 'lang_fk' AS rule_id, '__all__' AS "partition",
+         SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) = 0 AS pass,
+         SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS nv
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'text_not_blank', '__all__',
+         SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) = 0,
+         SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+  FROM documents WHERE doc_id % 2 = 0
+),
+b AS (
+  SELECT 'lang_fk' AS rule_id, '__all__' AS "partition",
+         SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) = 0 AS pass,
+         SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS nv
+  FROM documents
+  UNION ALL
+  SELECT 'text_not_blank', '__all__',
+         SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) = 0,
+         SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+  FROM documents
+)
+SELECT a.rule_id, a."partition",
+       CASE WHEN a.pass AND NOT b.pass THEN 'regression'
+            WHEN NOT a.pass AND b.pass THEN 'recovery'
+            WHEN a.nv <> b.nv THEN 'count_drift' END AS status,
+       a.pass AS pass_before, b.pass AS pass_after,
+       a.nv AS n_violations_before, b.nv AS n_violations_after
+FROM a JOIN b ON a.rule_id = b.rule_id AND a."partition" = b."partition"
+WHERE CASE WHEN a.pass AND NOT b.pass THEN 'regression'
+           WHEN NOT a.pass AND b.pass THEN 'recovery'
+           WHEN a.nv <> b.nv THEN 'count_drift' END IS NOT NULL
+""",
+)
+def q_verdict_regressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.compare import compare_verdicts
+
+    docs = read_table(spark, sf_dir, "documents")
+    dim = spark.createDataFrame([(l,) for l in ALLOWED_DOC_LANGS], "lang string")
+    suite = RuleSuite(
+        "documents_diff",
+        [
+            Rule("text_not_blank", "not_blank", ("text",)),
+            Rule("lang_fk", "foreign_key", ("lang",), {"dim": dim, "inline": True}),
+        ],
+        key_cols=("doc_id",),
+    )
+    before, _ = validate(docs.filter(F.col("doc_id") % 2 == 0), suite)
+    after, _ = validate(docs, suite)
+    return compare_verdicts(before, after)
