@@ -72,12 +72,17 @@ def run_with_ledger(
     snapshot_id: str,
     rule_version: str,
     n_salts: int = 64,
+    stats_columns: list[str] | None = None,
 ) -> dict[str, int]:
     """Validate only not-yet-done partitions; write outputs + ledger.
 
     Layout under ``out_dir``: ``verdicts/`` and ``violations/`` (parquet,
     partitioned by the verdict partition, dynamic overwrite) and ``ledger/``
-    (append-only parquet). Returns counters for observability.
+    (append-only parquet). With ``stats_columns``, mergeable per-partition
+    stat partials (``operators.stats.partial_column_stats``) are written
+    under ``stats/`` too — table-level stats over ANY set of completed
+    snapshots/partitions then come from ``merge_column_stats`` over the
+    stored partials, no rescan. Returns counters for observability.
     """
     spark = df.sparkSession
     ledger_path = os.path.join(out_dir, "ledger")
@@ -105,6 +110,17 @@ def run_with_ledger(
         .partitionBy("pt")
         .parquet(violations_path)
     )
+
+    if stats_columns:
+        from data_validator_guard_spark.operators.stats import partial_column_stats
+
+        partials = partial_column_stats(pending, stats_columns, suite.partition_by)
+        (
+            partials.withColumn("pt", F.col("partition"))
+            .write.mode("overwrite")
+            .partitionBy("pt")
+            .parquet(os.path.join(out_dir, "stats"))
+        )
 
     # commit point: ledger entries derived from the just-written verdicts.
     written = spark.read.parquet(verdicts_path)

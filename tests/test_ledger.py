@@ -81,3 +81,34 @@ def test_partial_partition_rewrite_is_idempotent(spark, suite, tmp_path):
     run_with_ledger(df, suite, fresh_out, snapshot_id="s1", rule_version="r1")
     exp_v, _ = load_results(spark, fresh_out)
     assert sorted(map(tuple, got_v.collect())) == sorted(map(tuple, exp_v.collect()))
+
+
+def test_ledger_writes_mergeable_stats(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_validator_guard_spark.ledger import run_with_ledger
+    from data_validator_guard_spark.operators.stats import (
+        merge_column_stats,
+        partial_column_stats,
+    )
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    suite = RuleSuite(
+        "docs",
+        [Rule("nb", "not_blank", ("text",))],
+        partition_by="pmod(doc_id, 4)",
+        key_cols=("doc_id",),
+    )
+    out = str(tmp_path / "out")
+    run_with_ledger(df, suite, out, "snap1", "v1", stats_columns=["lang", "source"])
+    stored = spark.read.parquet(out + "/stats").drop("pt")
+    merged = {r.column: r.asDict() for r in merge_column_stats(stored).collect()}
+    direct = {
+        r.column: r.asDict()
+        for r in merge_column_stats(
+            partial_column_stats(df, ["lang", "source"])
+        ).collect()
+    }
+    assert merged == direct
+    assert merged["lang"]["n_rows"] == df.count()
