@@ -2001,3 +2001,30 @@ def q_verdict_regressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     before, _ = validate(docs.filter(F.col("doc_id") % 2 == 0), suite)
     after, _ = validate(docs, suite)
     return compare_verdicts(before, after)
+
+
+# =====================================================================
+# 39. JSON column extraction (semi-structured props on events).
+# =====================================================================
+@query(
+    "json_props_stats",
+    oracle="""
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_missing,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k.isNull().cast("bigint")).alias("n_missing"),
+        F.count(F.lit(1)).alias("n"),
+    )
