@@ -360,7 +360,21 @@ def validate(
     for r in fk_inline:
         dim: DataFrame = r.params["dim"]
         dim_col = list(r.params.get("dim_columns", r.columns))[0]
-        vals = [row[0] for row in dim.select(dim_col).distinct().collect()]
+        # Guarded driver-side collect: inline dims are small *by contract*;
+        # enforce it so a miswired large dim fails fast instead of OOMing the
+        # driver. limit(max+1) bounds the transferred rows even on violation.
+        max_vals = int(r.params.get("max_inline_values", 100_000))
+        rows = dim.select(dim_col).distinct().limit(max_vals + 1).collect()
+        if len(rows) > max_vals:
+            raise ValueError(
+                f"inline foreign_key rule '{r.rule_id}': dim has more than "
+                f"{max_vals} distinct values — drop inline=True to use the "
+                "broadcast anti-join path (or raise max_inline_values)"
+            )
+        # NULL dim rows can never match the equi-join; keeping them would make
+        # `c IN (..., NULL)` three-valued and silently swallow every violation
+        # (~isin → NULL, counted as no-violation).
+        vals = [row[0] for row in rows if row[0] is not None]
         c = F.col(r.columns[0])
         cond = c.isNull() | ~c.isin(vals)
         detail = F.concat(
@@ -427,15 +441,16 @@ def validate(
                 F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("bigint").alias(f"__fv_{r.rule_id}")
             )
             final_aggs.append(F.sum(f"__fv_{r.rule_id}").cast("bigint").alias(f"__v_{r.rule_id}"))
-        fine = (
-            df.groupBy(
-                part.alias("partition"),
-                F.col(dr.params["group_by"]).alias("__grp"),
-                bucketize(F.expr(dr.params["value"]), dr.params["edges"]).alias("__bucket"),
-            )
-            .agg(*fine_aggs)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        fine = df.groupBy(
+            part.alias("partition"),
+            F.col(dr.params["group_by"]).alias("__grp"),
+            bucketize(F.expr(dr.params["value"]), dr.params["edges"]).alias("__bucket"),
+        ).agg(*fine_aggs)
+        # the fine histogram feeds BOTH totals and the drift fragment; persist
+        # it only when the caller wants shared/cached state (same contract as
+        # the fragment union below) — verdict-only runs leave no cached RDDs.
+        if persist_violations:
+            fine = fine.persist(StorageLevel.MEMORY_AND_DISK)
         totals = fine.groupBy("partition").agg(*final_aggs)
         drift_cur = fine.select(
             "partition",

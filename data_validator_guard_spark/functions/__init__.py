@@ -17,12 +17,17 @@ def is_blank(c: Column | str) -> Column:
     (`maganamed_validation.py:197-198`, `general_id_cleaning.py:263`).
 
     Implemented as an anchored regex rather than ``trim(c) = ''``: both
-    Spark's and ANSI ``trim`` strip only spaces, so ``rlike('^ *$')`` is
+    Spark's and ANSI ``trim`` strip only spaces, so a space-only regex is
     semantically identical — but it rejects a non-blank value at its first
     non-space byte instead of copying the whole string (on multi-KB content
-    columns the trim form allocated a full copy per row per scan)."""
+    columns the trim form allocated a full copy per row per scan).
+
+    Anchors are ``\\A``/``\\z`` (absolute input edges), NOT ``^``/``$``:
+    Java's ``$`` also matches *before a final line terminator*, so ``" \\n"``
+    would wrongly classify as blank under ``^ *$`` while ``trim`` semantics
+    (and every SQL oracle) keep it non-blank."""
     col = F.col(c) if isinstance(c, str) else c
-    return col.isNull() | col.cast("string").rlike("^ *$")
+    return col.isNull() | col.cast("string").rlike(r"\A *\z")
 
 
 def normalized(c: Column | str) -> Column:

@@ -25,6 +25,42 @@ from pyspark.sql import functions as F
 
 from data_validator_guard_spark.operators.text import normalize_text
 
+# Default per-bucket row cap for every LSH/blocking join below. A bucket of
+# size s contributes O(s²) candidate pairs; one degenerate bucket (e.g. every
+# empty-shingle doc hashing to the same band value, or one dominant
+# lang×length block) re-introduces the n² blowup LSH exists to avoid. The
+# cap bounds the worst bucket to MAX_BUCKET²/2 pairs; at the default 10,000
+# that is ≤ 5·10⁷ comparisons per degenerate bucket — bounded work instead of
+# a runaway stage.
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def _cap_buckets(
+    df: DataFrame, bucket_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop rows in over-full buckets before a within-bucket pair join.
+
+    Pre-pass: count rows per bucket (one hash aggregation over the bucket
+    keys — the same shuffle key the pairing join uses, so AQE reuses the
+    exchange), keep only buckets with <= max_bucket rows via a semi-join.
+    Dropped buckets lose *recall only* (LSH candidate generation is already
+    recall-lossy by design); they can never create false positives because
+    every emitted pair is still exactly verified downstream.
+
+    Callers that must know what was dropped can diff against
+    ``max_bucket=None``; the cap is surfaced as an explicit parameter on every
+    public operator rather than a silent constant.
+    """
+    if max_bucket is None:
+        return df
+    sizes = (
+        df.groupBy(*[F.col(c) for c in bucket_cols])
+        .agg(F.count(F.lit(1)).alias("__bucket_n"))
+        .filter(F.col("__bucket_n") <= max_bucket)
+        .select(*bucket_cols)
+    )
+    return df.join(sizes, bucket_cols, "left_semi")
+
 
 # ------------------------------------------------------------------ exact
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -74,12 +110,14 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, k: int = 8, bands: int = 4
+    sig: DataFrame, k: int = 8, bands: int = 4, max_bucket: int | None = DEFAULT_MAX_BUCKET
 ) -> DataFrame:
     """Candidate pairs from banded signatures: ``id1, id2`` (id1 < id2).
 
     Band value = concat of its rows' minhashes; pairs join only within equal
-    (band_index, band_value) buckets, then distinct.
+    (band_index, band_value) buckets, then distinct. Buckets larger than
+    ``max_bucket`` (e.g. every empty-shingle document sharing one degenerate
+    band value) are dropped by a count pre-pass — see ``_cap_buckets``.
     """
     r = k // bands
     band_structs = [
@@ -92,6 +130,7 @@ def lsh_candidate_pairs(
     exploded = sig.select(
         F.col("id"), F.explode(F.array(*band_structs)).alias("bv")
     ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    exploded = _cap_buckets(exploded, ["band", "val"], max_bucket)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -146,15 +185,17 @@ def minhash_near_duplicates(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.7,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: ``id1, id2, jaccard``.
 
     LSH proposes, exact Jaccard disposes — output is exactly the candidate
     pairs that truly meet the threshold (LSH affects recall only, and
     identically so in any engine given the same hash family).
+    ``max_bucket`` bounds the per-band-bucket pair blowup (recall-only loss).
     """
     sig = minhash_signature(df, text_col, id_col, k, n)
-    pairs = lsh_candidate_pairs(sig, k, bands)
+    pairs = lsh_candidate_pairs(sig, k, bands, max_bucket)
     shingles = shingle_table(df, text_col, id_col, n)
     return jaccard_verify(pairs, shingles, threshold)
 
@@ -168,15 +209,19 @@ def ngram_jaccard_duplicates(
     length_bucket: int = 64,
     n: int = 3,
     threshold: float = 0.7,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup within blocking buckets:
-    ``id1, id2, jaccard``. Blocks = block_cols × floor(len/length_bucket)."""
+    ``id1, id2, jaccard``. Blocks = block_cols × floor(len/length_bucket);
+    blocks larger than ``max_bucket`` rows are dropped by a count pre-pass
+    (one dominant lang×length block would otherwise go quadratic)."""
     base = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         F.floor(F.length(F.col(text_col)) / length_bucket).alias("__lb"),
         word_shingles(F.col(text_col), n).alias("__sh"),
     )
+    base = _cap_buckets(base, [*block_cols, "__lb"], max_bucket)
     a = base.alias("a")
     b = base.alias("b")
     cond = (F.col("a.id") < F.col("b.id")) & (F.col("a.__lb") == F.col("b.__lb"))
@@ -268,6 +313,19 @@ def _int_lsh_bits(qv: Column, n_planes: int) -> Column:
     return F.concat(*bits)
 
 
+def auto_n_planes(n_rows: int, target_bucket_size: int = 1_000) -> int:
+    """Plane count so the *average* LSH bucket holds ~target_bucket_size
+    vectors: 2^planes ≈ n_rows / target. A fixed plane count that was right
+    at 10⁶ rows is quadratic-within-bucket at 10¹²; callers at unknown scale
+    should pass ``n_planes=auto_n_planes(df.count())`` (one cheap count job)
+    instead of the default."""
+    import math
+
+    if n_rows <= target_bucket_size:
+        return 1
+    return max(1, math.ceil(math.log2(n_rows / target_bucket_size)))
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -275,6 +333,7 @@ def embedding_near_duplicates(
     threshold_cents: int = 90,
     n_planes: int = 4,
     scale: int = 1000,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``id1, id2`` with
     cos(quantized a, quantized b) >= threshold_cents/100.
@@ -290,22 +349,47 @@ def embedding_near_duplicates(
     comparison itself runs in decimal(38,0) (Spark) / HUGEINT (SQL oracles),
     so no floats ever touch the decision → byte-identical to any SQL oracle.
 
-    Scale design: the shuffle key is the LSH bucket (2^n_planes buckets →
-    tune n_planes up for bigger corpora so per-bucket pair counts stay
-    bounded); the quadratic verify runs only within buckets. Identical
-    vectors always share a bucket, so exact duplicates have recall 1;
-    near-duplicates have LSH recall < 1 by design.
+    Scale design: the shuffle key is the LSH bucket (2^n_planes buckets —
+    size n_planes with ``auto_n_planes(n_rows)`` so per-bucket pair counts
+    stay bounded as the corpus grows); the quadratic verify runs only within
+    buckets, and buckets above ``max_bucket`` rows are dropped by a count
+    pre-pass (recall-only loss). Identical vectors always share a bucket, so
+    exact duplicates have recall 1; near-duplicates have LSH recall < 1 by
+    design.
     """
     t2 = threshold_cents * threshold_cents
     base = df.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("__q")
     )
+    # Overflow guard: with |a|², |b|² < 3e16, Cauchy-Schwarz bounds
+    # |dot| < 3e16, so dot²·10⁴ < 9e36 and t²·|a|²·|b|² < 9e36 — both inside
+    # decimal(38,0). Larger dim·(scale·|x|max)² inputs FAIL LOUDLY here
+    # instead of overflowing the decimal to NULL and silently dropping pairs
+    # (the DuckDB HUGEINT oracle would keep them — a data-dependent engine/
+    # oracle divergence).
+    _N2_BOUND = 3 * 10**16
+    n2 = _int_dot(F.col("__q"), F.col("__q"))
+    # assert_true is woven INTO the used __n2 expression (an unreferenced
+    # assert column would be pruned by Catalyst): it returns NULL on pass and
+    # raises on violation, so the when() always yields n2 or fails the job.
+    checked_n2 = F.when(
+        F.assert_true(
+            n2 < F.lit(_N2_BOUND),
+            F.lit(
+                f"embedding_near_duplicates: |v|^2 >= {_N2_BOUND} — "
+                "dim*(scale*|x|max)^2 too large for exact decimal(38,0) "
+                "arithmetic; reduce `scale` or normalize the vectors"
+            ),
+        ).isNull(),
+        n2,
+    )
     keyed = base.select(
         "id",
         "__q",
         _int_lsh_bits(F.col("__q"), n_planes).alias("__bucket"),
-        _int_dot(F.col("__q"), F.col("__q")).alias("__n2"),
+        checked_n2.alias("__n2"),
     )
+    keyed = _cap_buckets(keyed, ["__bucket"], max_bucket)
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = a.join(
         b,
@@ -317,9 +401,9 @@ def embedding_near_duplicates(
         F.col("a.__n2").alias("__na2"),
         F.col("b.__n2").alias("__nb2"),
     )
-    dot = F.col("__dot").cast("decimal(18,0)")
-    na2 = F.col("__na2").cast("decimal(18,0)")
-    nb2 = F.col("__nb2").cast("decimal(18,0)")
+    dot = F.col("__dot").cast("decimal(38,0)")
+    na2 = F.col("__na2").cast("decimal(38,0)")
+    nb2 = F.col("__nb2").cast("decimal(38,0)")
     lhs = (dot * dot) * F.lit(10000).cast("decimal(5,0)")
     rhs = (F.lit(t2).cast("decimal(5,0)") * na2) * nb2
     return pairs.filter((F.col("__dot") > 0) & (lhs >= rhs)).select("id1", "id2")

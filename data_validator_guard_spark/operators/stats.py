@@ -32,7 +32,7 @@ def column_stats(
 
         partition string, column string, n_rows bigint, n_null bigint,
         n_blank bigint, n_distinct bigint, min_val string, max_val string,
-        min_len int, max_len int, sum_len bigint, n_regex_match bigint
+        min_len bigint, max_len bigint, sum_len bigint, n_regex_match bigint
 
     ``exact_distinct`` switches `approx_count_distinct` (the 10^12-row path,
     HyperLogLog) to an exact count (the oracle-comparison path).
@@ -77,8 +77,8 @@ def column_stats(
             F.col(f"{c}__n_distinct").cast("bigint").alias("n_distinct"),
             F.col(f"{c}__min_val").alias("min_val"),
             F.col(f"{c}__max_val").alias("max_val"),
-            F.col(f"{c}__min_len").cast("int").alias("min_len"),
-            F.col(f"{c}__max_len").cast("int").alias("max_len"),
+            F.col(f"{c}__min_len").cast("bigint").alias("min_len"),
+            F.col(f"{c}__max_len").cast("bigint").alias("max_len"),
             F.col(f"{c}__sum_len").alias("sum_len"),
             F.col(f"{c}__n_regex_match").alias("n_regex_match"),
         )

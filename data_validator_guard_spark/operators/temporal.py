@@ -57,10 +57,18 @@ def asof_join(
     ).unionByName(rt.select(*left.columns, "__side", "__ats", *[f"{c}{suffix}" for c in value_cols]))
 
     # right rows sort before left rows at the same timestamp (__side 0 < 1),
-    # so an equal-ts right row IS visible to the left row.
+    # so an equal-ts right row IS visible to the left row. The value columns
+    # complete the sort as a deterministic tiebreak: when several right rows
+    # share (key, ts), the carried value is the GREATEST (value_cols) tuple —
+    # fixed across runs/partitionings instead of whichever row happened to
+    # sort last (nulls first, so a non-null value wins over a null one).
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ats"), F.col("__side"))
+        .orderBy(
+            F.col("__ats"),
+            F.col("__side"),
+            *[F.col(f"{c}{suffix}").asc_nulls_first() for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

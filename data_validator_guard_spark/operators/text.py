@@ -154,8 +154,12 @@ def closest_allowed_value(
 
 def heavy_hitters(df: DataFrame, col: str, k: int = 10) -> DataFrame:
     """Exact top-k most frequent values (skew diagnosis for salting / AQE
-    tuning): two-phase hash count then a k-row total-order take; the count
-    shuffle carries one row per distinct value, not per input row."""
+    tuning): two-phase hash count then ``orderBy(...).limit(k)``, which
+    compiles to distributed TakeOrderedAndProject (per-partition top-k, k-row
+    merge) — NOT a global ``Window.orderBy``, which would funnel one row per
+    distinct value through a single task. Ranks are assigned afterwards on
+    the k-row result."""
     counts = df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("n"))
+    topk = counts.orderBy(F.col("n").desc(), F.col("value")).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("value"))
-    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk.withColumn("rank", F.row_number().over(w))

@@ -51,36 +51,36 @@ def query(name: str, oracle: str | None = None):
     oracle="""
 WITH t AS (SELECT * FROM documents),
 dup AS (
-  SELECT COALESCE(SUM(n), 0) AS n FROM (
+  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n FROM (
     SELECT COUNT(*) AS n FROM t GROUP BY doc_id HAVING COUNT(*) > 1
   ) d
 )
 SELECT 'text_not_blank' AS rule_id, '__all__' AS "partition",
        SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) = 0 AS pass,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS n_violations
+       CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
 FROM t
 UNION ALL
 SELECT 'lang_pattern', '__all__',
        SUM(CASE WHEN lang IS NULL OR NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) = 0,
        COUNT(*),
-       SUM(CASE WHEN lang IS NULL OR NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN lang IS NULL OR NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS BIGINT)
 FROM t
 UNION ALL
 SELECT 'nchars_range', '__all__',
        SUM(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 1000000 THEN 1 ELSE 0 END) = 0,
        COUNT(*),
-       SUM(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 1000000 THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
 FROM t
 UNION ALL
 SELECT 'source_cardinality', '__all__',
        COUNT(DISTINCT source) BETWEEN 1 AND 1000,
        COUNT(*),
-       CASE WHEN COUNT(DISTINCT source) BETWEEN 1 AND 1000 THEN 0 ELSE 1 END
+       CAST(CASE WHEN COUNT(DISTINCT source) BETWEEN 1 AND 1000 THEN 0 ELSE 1 END AS BIGINT)
 FROM t
 UNION ALL
 SELECT 'min_rows', '__all__', COUNT(*) >= 1, COUNT(*),
-       CASE WHEN COUNT(*) >= 1 THEN 0 ELSE 1 END
+       CAST(CASE WHEN COUNT(*) >= 1 THEN 0 ELSE 1 END AS BIGINT)
 FROM t
 UNION ALL
 SELECT 'doc_unique', '__all__', (SELECT n FROM dup) = 0, COUNT(*), (SELECT n FROM dup)
@@ -89,7 +89,7 @@ UNION ALL
 SELECT 'lang_fk', '__all__',
        SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) = 0,
        COUNT(*),
-       SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS BIGINT)
 FROM t
 """,
 )
@@ -147,21 +147,21 @@ def q_violations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 def _stats_oracle_one(col: str, regex: str | None) -> str:
     n_match = (
-        f"SUM(CASE WHEN {col} IS NOT NULL AND regexp_matches(CAST({col} AS VARCHAR), '{regex}') THEN 1 ELSE 0 END)"
+        f"CAST(SUM(CASE WHEN {col} IS NOT NULL AND regexp_matches(CAST({col} AS VARCHAR), '{regex}') THEN 1 ELSE 0 END) AS BIGINT)"
         if regex
         else "CAST(NULL AS BIGINT)"
     )
     return f"""
 SELECT '__all__' AS "partition", '{col}' AS "column",
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_null,
-       SUM(CASE WHEN {col} IS NULL OR trim(CAST({col} AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS n_blank,
+       CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(SUM(CASE WHEN {col} IS NULL OR trim(CAST({col} AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
        COUNT(DISTINCT {col}) AS n_distinct,
        MIN(CAST({col} AS VARCHAR)) AS min_val,
        MAX(CAST({col} AS VARCHAR)) AS max_val,
        MIN(length(CAST({col} AS VARCHAR))) AS min_len,
        MAX(length(CAST({col} AS VARCHAR))) AS max_len,
-       SUM(COALESCE(length(CAST({col} AS VARCHAR)), 0)) AS sum_len,
+       CAST(SUM(COALESCE(length(CAST({col} AS VARCHAR)), 0)) AS BIGINT) AS sum_len,
        {n_match} AS n_regex_match
 FROM documents"""
 
@@ -263,9 +263,9 @@ def q_group_consistency_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS sum_base_price,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -273,16 +273,20 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulation stays exact decimal (order-independent); only the final
+    per-group total is cast to double — ONE deterministic conversion, so both
+    engines emit bit-identical float64 (decimal outputs hash-mismatch in the
+    driver: DuckDB .df() widens them to float64, Spark keeps Decimal)."""
     li = read_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast("decimal(20,4)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).cast("double").alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -295,7 +299,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle="""
 SELECT n.n_name,
-       SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS revenue,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -317,7 +321,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
-            ).alias("revenue"),
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -842,11 +846,10 @@ tot AS (
   SELECT grp, SUM(n_cur) AS tc, SUM(n_base) AS tb FROM allb GROUP BY grp
 )
 SELECT a.grp AS lang,
-       CAST(SUM((CAST(a.n_cur AS DOUBLE) / t.tc + {_DRIFT_EPS}
+       round(SUM((CAST(a.n_cur AS DOUBLE) / t.tc + {_DRIFT_EPS}
                  - CAST(a.n_base AS DOUBLE) / t.tb - {_DRIFT_EPS})
                 * ln((CAST(a.n_cur AS DOUBLE) / t.tc + {_DRIFT_EPS})
-                     / (CAST(a.n_base AS DOUBLE) / t.tb + {_DRIFT_EPS})))
-            AS DECIMAL(18, 8)) AS psi,
+                     / (CAST(a.n_base AS DOUBLE) / t.tb + {_DRIFT_EPS}))), 6) AS psi,
        CAST(SUM(a.n_cur) AS BIGINT) AS n_cur, CAST(SUM(a.n_base) AS BIGINT) AS n_base
 FROM allb a JOIN tot t ON t.grp = a.grp
 GROUP BY a.grp
@@ -861,9 +864,12 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = histogram(docs.filter(F.col("doc_id") % 2 == 1), "lang", F.col("n_chars"), _DRIFT_EDGES)
     base = histogram(docs.filter(F.col("doc_id") % 2 == 0), "lang", F.col("n_chars"), _DRIFT_EDGES)
     rep = psi_report(cur, base, _DRIFT_EDGES)
+    # rounded DOUBLE, not decimal: both engines land on the same 1e-6 grid
+    # point (pre-round values agree to ~1e-15), and float64 hashes identically
+    # through the driver on both sides — decimals do not.
     return rep.select(
         F.col("grp").alias("lang"),
-        F.col("psi").cast("decimal(18,8)").alias("psi"),
+        F.round(F.col("psi"), 6).alias("psi"),
         "n_cur",
         "n_base",
     )
@@ -1063,13 +1069,16 @@ def q_negative_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_total_consistency",
     oracle="""
 SELECT o.o_orderkey,
-       CAST(o.o_totalprice AS DECIMAL(20,4)) AS stored_total,
-       SUM(CAST(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax) AS DECIMAL(24,6))) AS computed_total
+       o.o_totalprice AS stored_total,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS computed_total
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderkey, o.o_totalprice
 """,
 )
 def q_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stored_total passes the raw double through untouched (bit-identical by
+    construction); computed_total accumulates exactly in decimal then casts
+    to double once at the end."""
     o = read_table(spark, sf_dir, "orders")
     l = read_table(spark, sf_dir, "lineitem")
     return (
@@ -1082,11 +1091,11 @@ def q_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
                 ).cast("decimal(24,6)")
-            ).alias("computed_total")
+            ).cast("double").alias("computed_total")
         )
         .select(
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(20,4)").alias("stored_total"),
+            F.col("o_totalprice").alias("stored_total"),
             "computed_total",
         )
     )
@@ -1215,25 +1224,25 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT 'derived_source' AS rule_id, '__all__' AS "partition",
        SUM(CASE WHEN source IS DISTINCT FROM 'src' || CAST(doc_id % 20 AS VARCHAR) THEN 1 ELSE 0 END) = 0 AS pass,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN source IS DISTINCT FROM 'src' || CAST(doc_id % 20 AS VARCHAR) THEN 1 ELSE 0 END) AS n_violations
+       CAST(SUM(CASE WHEN source IS DISTINCT FROM 'src' || CAST(doc_id % 20 AS VARCHAR) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
 FROM documents
 UNION ALL
 SELECT 'nchars_matches_len', '__all__',
        SUM(CASE WHEN NOT COALESCE(abs(n_chars - length(text)) <= 0.0, FALSE) THEN 1 ELSE 0 END) = 0,
        COUNT(*),
-       SUM(CASE WHEN NOT COALESCE(abs(n_chars - length(text)) <= 0.0, FALSE) THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN NOT COALESCE(abs(n_chars - length(text)) <= 0.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
 FROM documents
 UNION ALL
 SELECT 'nchars_near_256', '__all__',
        SUM(CASE WHEN NOT COALESCE(abs(n_chars - 256) <= 200.0, FALSE) THEN 1 ELSE 0 END) = 0,
        COUNT(*),
-       SUM(CASE WHEN NOT COALESCE(abs(n_chars - 256) <= 200.0, FALSE) THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN NOT COALESCE(abs(n_chars - 256) <= 200.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
 FROM documents
 UNION ALL
 SELECT 'lang_not_zh', '__all__',
        SUM(CASE WHEN NOT COALESCE(lang <> 'zh', FALSE) THEN 1 ELSE 0 END) = 0,
        COUNT(*),
-       SUM(CASE WHEN NOT COALESCE(lang <> 'zh', FALSE) THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN NOT COALESCE(lang <> 'zh', FALSE) THEN 1 ELSE 0 END) AS BIGINT)
 FROM documents
 """,
 )
@@ -1328,11 +1337,11 @@ j AS (
 ),
 tot AS (SELECT grp, SUM(n_cur) AS tc, SUM(n_base) AS tb FROM j GROUP BY grp)
 SELECT j.grp AS lang,
-       CAST(SUM(CASE WHEN j.n_base > 0 AND t.tb > 0 AND t.tc > 0 THEN
+       round(SUM(CASE WHEN j.n_base > 0 AND t.tb > 0 AND t.tc > 0 THEN
          (CAST(j.n_cur AS DOUBLE) - CAST(j.n_base AS DOUBLE) * t.tc / t.tb)
          * (CAST(j.n_cur AS DOUBLE) - CAST(j.n_base AS DOUBLE) * t.tc / t.tb)
          / (CAST(j.n_base AS DOUBLE) * t.tc / t.tb)
-       ELSE 0.0 END) AS DECIMAL(18,6)) AS chi2,
+       ELSE 0.0 END), 6) AS chi2,
        CAST(SUM(j.n_cur) AS BIGINT) AS n_cur, CAST(SUM(j.n_base) AS BIGINT) AS n_base
 FROM j JOIN tot t ON t.grp = j.grp
 GROUP BY j.grp
@@ -1349,7 +1358,7 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = psi_report(cur, base, _DRIFT_EDGES)
     return rep.select(
         F.col("grp").alias("lang"),
-        F.col("chi2").cast("decimal(18,6)").alias("chi2"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
         "n_cur",
         "n_base",
     )
@@ -1389,7 +1398,7 @@ def q_late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFra
 @query(
     "top_building_orders",
     oracle="""
-SELECT o_orderkey, revenue, rn FROM (
+SELECT o_orderkey, CAST(revenue AS DOUBLE) AS revenue, rn FROM (
   SELECT l.l_orderkey AS o_orderkey,
          SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS revenue,
          ROW_NUMBER() OVER (
@@ -1405,6 +1414,12 @@ SELECT o_orderkey, revenue, rn FROM (
 """,
 )
 def q_top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITHOUT a global window: ``orderBy(...).limit(k)`` compiles to
+    distributed TakeOrderedAndProject (per-partition top-k then a k-row merge
+    on the driver) — a single-partition ``Window.orderBy`` would funnel every
+    aggregated row through one task. Ranks are assigned afterwards on the
+    k-row result (trivial). The sort key stays the exact decimal; only the
+    emitted revenue is cast to double."""
     c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     l = read_table(spark, sf_dir, "lineitem")
@@ -1418,8 +1433,11 @@ def q_top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+    topk = rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-    return rev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    return topk.withColumn("rn", F.row_number().over(w)).select(
+        "o_orderkey", F.col("revenue").cast("double").alias("revenue"), "rn"
+    )
 
 
 @query(
@@ -1430,7 +1448,7 @@ WITH avgq AS (
   FROM lineitem GROUP BY l_partkey
 )
 SELECT l.l_orderkey, l.l_partkey, l.l_linenumber,
-       CAST(l.l_quantity AS DECIMAL(20,4)) AS quantity
+       l.l_quantity AS quantity
 FROM lineitem l JOIN avgq a ON a.l_partkey = l.l_partkey
 WHERE a.n >= 3 AND CAST(l.l_quantity AS DOUBLE) < 0.5 * (a.aq / 1.0)
 """,
@@ -1453,7 +1471,7 @@ def q_small_quantity_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_partkey",
             "l_linenumber",
-            F.col("l_quantity").cast("decimal(20,4)").alias("quantity"),
+            F.col("l_quantity").alias("quantity"),
         )
     )
 
@@ -1576,15 +1594,15 @@ WITH t AS (
   FROM documents
 ),
 dup AS (
-  SELECT p, COALESCE(SUM(n), 0) AS n_dup FROM (
+  SELECT p, CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_dup FROM (
     SELECT p, COUNT(*) AS n FROM t GROUP BY p, k HAVING COUNT(*) > 1
   ) d GROUP BY p
 ),
 tot AS (
   SELECT p, COUNT(*) AS n_rows,
-         SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS n_blank,
-         SUM(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 1000000 THEN 1 ELSE 0 END) AS n_range,
-         SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS n_fk
+         CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+         CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_range,
+         CAST(SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS BIGINT) AS n_fk
   FROM t GROUP BY p
 )
 SELECT 'text_not_blank' AS rule_id, p AS "partition", n_blank = 0 AS pass,
@@ -1594,11 +1612,11 @@ UNION ALL
 SELECT 'nchars_range', p, n_range = 0, n_rows, n_range FROM tot
 UNION ALL
 SELECT 'min_rows_10', p, n_rows >= 10, n_rows,
-       CASE WHEN n_rows >= 10 THEN 0 ELSE 1 END
+       CAST(CASE WHEN n_rows >= 10 THEN 0 ELSE 1 END AS BIGINT)
 FROM tot
 UNION ALL
 SELECT 'k_unique', tot.p, COALESCE(dup.n_dup, 0) = 0, tot.n_rows,
-       COALESCE(dup.n_dup, 0)
+       CAST(COALESCE(dup.n_dup, 0) AS BIGINT)
 FROM tot LEFT JOIN dup ON dup.p = tot.p
 UNION ALL
 SELECT 'lang_fk', p, n_fk = 0, n_rows, n_fk FROM tot
@@ -1645,27 +1663,27 @@ def q_content_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT 'documents' AS "table", 'text_not_blank' AS rule_id, '__all__' AS "partition",
        SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) = 0 AS pass,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS n_violations
+       CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
 FROM documents
 UNION ALL
 SELECT 'documents', 'lang_fk', '__all__',
        SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) = 0,
        COUNT(*),
-       SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS BIGINT)
 FROM documents
 UNION ALL
 SELECT 'events', 'type_allowed', '__all__',
        SUM(CASE WHEN event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup') THEN 1 ELSE 0 END) = 0,
        COUNT(*),
-       SUM(CASE WHEN event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup') THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT)
 FROM events
 UNION ALL
 SELECT 'events', 'event_unique', '__all__',
        (SELECT COALESCE(SUM(n), 0) FROM (
           SELECT COUNT(*) AS n FROM events GROUP BY event_id HAVING COUNT(*) > 1)) = 0,
        COUNT(*),
-       (SELECT COALESCE(SUM(n), 0) FROM (
-          SELECT COUNT(*) AS n FROM events GROUP BY event_id HAVING COUNT(*) > 1))
+       CAST((SELECT COALESCE(SUM(n), 0) FROM (
+          SELECT COUNT(*) AS n FROM events GROUP BY event_id HAVING COUNT(*) > 1)) AS BIGINT)
 FROM events
 """,
 )
@@ -1755,8 +1773,8 @@ WITH x AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 )
 SELECT event_id, user_id,
-       SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
-                     ROWS UNBOUNDED PRECEDING) - 1 AS session_seq,
+       CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq,
        CAST(user_id AS VARCHAR) || '#' ||
        CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
                           ROWS UNBOUNDED PRECEDING) - 1 AS VARCHAR) AS session_id
@@ -1817,7 +1835,7 @@ def q_events_after_signup_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT COALESCE(l_returnflag, '__total__') AS returnflag,
        COALESCE(l_linestatus, '__total__') AS linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -1828,7 +1846,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(20,4)")).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
@@ -1844,10 +1862,10 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_pivot",
     oracle="""
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
 FROM events GROUP BY user_id
 """,
 )
@@ -1870,19 +1888,23 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nchars_percentiles",
     oracle="""
 SELECT lang,
-       CAST(quantile_cont(n_chars, 0.25) AS DECIMAL(18,4)) AS p25,
-       CAST(quantile_cont(n_chars, 0.5)  AS DECIMAL(18,4)) AS p50,
-       CAST(quantile_cont(n_chars, 0.75) AS DECIMAL(18,4)) AS p75,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5)  AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
        COUNT(*) AS n
 FROM documents GROUP BY lang
 """,
 )
 def q_nchars_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles emitted as raw doubles: at q ∈ {.25,.5,.75} over
+    integer values the interpolation a + f·(b−a) has f exactly representable
+    (dyadic), so both engines produce bit-identical float64 — no decimal cast
+    (decimal outputs hash-differ through the driver)."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
-        F.percentile("n_chars", F.lit(0.25)).cast("decimal(18,4)").alias("p25"),
-        F.percentile("n_chars", F.lit(0.5)).cast("decimal(18,4)").alias("p50"),
-        F.percentile("n_chars", F.lit(0.75)).cast("decimal(18,4)").alias("p75"),
+        F.percentile("n_chars", F.lit(0.25)).alias("p25"),
+        F.percentile("n_chars", F.lit(0.5)).alias("p50"),
+        F.percentile("n_chars", F.lit(0.75)).alias("p75"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1954,23 +1976,23 @@ def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH a AS (
   SELECT 'lang_fk' AS rule_id, '__all__' AS "partition",
          SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) = 0 AS pass,
-         SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS nv
+         CAST(SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS BIGINT) AS nv
   FROM documents WHERE doc_id % 2 = 0
   UNION ALL
   SELECT 'text_not_blank', '__all__',
          SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) = 0,
-         SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
   FROM documents WHERE doc_id % 2 = 0
 ),
 b AS (
   SELECT 'lang_fk' AS rule_id, '__all__' AS "partition",
          SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) = 0 AS pass,
-         SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS nv
+         CAST(SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS BIGINT) AS nv
   FROM documents
   UNION ALL
   SELECT 'text_not_blank', '__all__',
          SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) = 0,
-         SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
   FROM documents
 )
 SELECT a.rule_id, a."partition",
@@ -2010,10 +2032,10 @@ def q_verdict_regressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_stats",
     oracle="""
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_missing,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """,

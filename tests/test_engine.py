@@ -264,3 +264,66 @@ def test_fused_drift_totals_matches_fallback(spark):
     direct = {(r.rule_id): (r["pass"], r.n_rows, r.n_violations) for r in v_direct.collect()}
     assert fused == direct
     assert fused["v_not_blank"] == (False, 300, 30)
+
+
+def test_inline_fk_null_dim_rows_still_counts_violations(spark):
+    """A NULL row in an inline dim must not poison the isin into three-valued
+    logic (c IN (..., NULL) is NULL for non-members → every violation
+    silently dropped). NULL dim values are filtered out after collect —
+    they can never match the equi-join semantics anyway."""
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "xx"), (3, None)], "id bigint, lang string"
+    )
+    dim = spark.createDataFrame([("en",), (None,)], "lang string")
+    suite = RuleSuite(
+        "p",
+        [Rule("fk", "foreign_key", ("lang",), {"dim": dim, "inline": True})],
+        key_cols=("id",),
+    )
+    verdicts, violations = validate(df, suite)
+    v = verdicts.collect()[0]
+    assert v.n_violations == 2 and v["pass"] is False
+    assert violations.count() == 2
+
+
+def test_inline_fk_large_dim_fails_fast(spark):
+    """Inline dims are small by contract — a miswired large dim must raise
+    instead of collecting onto the driver."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, lang string")
+    dim = spark.createDataFrame([(f"v{i}",) for i in range(20)], "lang string")
+    suite = RuleSuite(
+        "p",
+        [
+            Rule(
+                "fk",
+                "foreign_key",
+                ("lang",),
+                {"dim": dim, "inline": True, "max_inline_values": 5},
+            )
+        ],
+        key_cols=("id",),
+    )
+    with _pytest.raises(ValueError, match="more than 5 distinct values"):
+        validate(df, suite)
+
+
+def test_is_blank_trailing_newline_is_not_blank(spark):
+    """`$` in Java regex matches before a final line terminator; the engine
+    must match trim-equality semantics (space-only = blank), so "\\n" and
+    " \\r\\n" are NOT blank — exactly what every DuckDB oracle computes."""
+    from data_validator_guard_spark.functions import is_blank
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\n"), (4, " \r\n"), (5, "x"), (6, None)],
+        "id bigint, v string",
+    )
+    got = {r.id: r.b for r in df.select("id", is_blank("v").alias("b")).collect()}
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: False, 6: True}

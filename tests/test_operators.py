@@ -337,3 +337,66 @@ def test_partial_stats_merge_equals_full(spark):
     m = {r.column: r.asDict() for r in merged.collect()}
     f = {r.column: r.asDict() for r in full.collect()}
     assert m == f
+
+
+def test_minhash_bucket_cap_defuses_degenerate_band(spark):
+    """One degenerate band bucket (60 identical one-shingle docs) would emit
+    60·59/2 candidate pairs; the count pre-pass drops it while a genuine
+    near-dup pair in a healthy bucket survives — recall-only loss, bounded
+    candidate count."""
+    from data_validator_guard_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_near_duplicates,
+        minhash_signature,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog once more today " * 2
+    rows = [(i, "one single shingle") for i in range(1000, 1060)]
+    rows += [(1, base), (2, base + " x")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sig = minhash_signature(df, "text", "doc_id")
+    uncapped = lsh_candidate_pairs(sig, max_bucket=None).count()
+    capped_pairs = lsh_candidate_pairs(sig, max_bucket=10)
+    assert uncapped >= 60 * 59 // 2  # quadratic blowup without the cap
+    assert capped_pairs.count() == 1  # only the planted pair remains
+
+    got = {
+        (r.id1, r.id2)
+        for r in minhash_near_duplicates(
+            df, "text", "doc_id", threshold=0.6, max_bucket=10
+        ).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_ngram_block_cap_drops_dominant_block(spark):
+    from data_validator_guard_spark.operators.dedup import ngram_jaccard_duplicates
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [(i, base, "xx") for i in range(1000, 1030)]  # dominant block
+    rows += [(1, base, "en"), (2, base + " x", "en")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    capped = ngram_jaccard_duplicates(
+        df, "text", "doc_id", block_cols=["lang"], threshold=0.6, max_bucket=10
+    )
+    assert {(r.id1, r.id2) for r in capped.collect()} == {(1, 2)}
+    uncapped = ngram_jaccard_duplicates(
+        df, "text", "doc_id", block_cols=["lang"], threshold=0.6, max_bucket=None
+    )
+    assert uncapped.count() == 30 * 29 // 2 + 1
+
+
+def test_embedding_bucket_cap_and_auto_planes(spark):
+    from data_validator_guard_spark.operators.dedup import (
+        auto_n_planes,
+        embedding_near_duplicates,
+    )
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    assert embedding_near_duplicates(df, max_bucket=5).count() == 0
+    assert embedding_near_duplicates(df, max_bucket=None).count() == 30 * 29 // 2
+
+    assert auto_n_planes(10**6, 1_000) == 10  # 2^10 buckets ≈ 1k/bucket
+    assert auto_n_planes(500, 1_000) == 1

@@ -146,3 +146,20 @@ def test_fused_drift_adds_no_extra_scan(spark, docs):
     # scans: the fused fine aggregation's one data scan + the baseline's scan
     schemas = plans.scan_read_schemas(verdicts)
     assert len(schemas) <= 2, f"expected <=2 scans, got {len(schemas)}: {schemas}"
+
+
+def test_topk_compiles_to_take_ordered_not_global_window(spark):
+    """Top-k paths must be distributed TakeOrderedAndProject — a k-row merge
+    of per-partition top-ks — never a partition-less Window that funnels
+    every row through one task (the 100×-scale killer flagged in round 1)."""
+    from data_validator_guard_spark.operators.text import heavy_hitters
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    out = heavy_hitters(events, "user_id", k=10)
+    s = plans.plan_string(out)
+    assert "TakeOrderedAndProject" in s, s
+    # the only Window left runs AFTER the k-row take (rank assignment on <=k
+    # rows) — assert the take feeds the window, not the other way round
+    assert s.index("TakeOrderedAndProject") > s.index("Window"), (
+        "Window must consume the k-row TakeOrderedAndProject output"
+    )

@@ -5,6 +5,15 @@ the same sf dir, comparing row count, column names, and an order-insensitive
 value multiset. Usage::
 
     python tools/check_oracle.py [sf_dir] [query ...]
+
+In addition to the multiset check, a *type gate* rejects output types the
+driver's value hash is known (empirically, round 1) to mismatch even when
+values are equal: any DECIMAL on either side, and DuckDB HUGEINT (an uncast
+``SUM`` over integers). The driver converts DuckDB results via ``.df()``
+(DECIMAL/HUGEINT → float64) and Spark via ``toPandas()`` (decimal →
+``decimal.Decimal`` objects), so '0.0' vs Decimal('0') hash-differ. Final
+outputs must therefore be BIGINT/INT, DOUBLE (bit-identical on both sides),
+VARCHAR, BOOLEAN, or DATE/TIMESTAMP.
 """
 
 from __future__ import annotations
@@ -79,6 +88,19 @@ def main() -> int:
             continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns differ spark={scols} duck={ocols}")
+            failures += 1
+            continue
+        bad_types = [
+            f"spark:{f.name}:{f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if f.dataType.simpleString().startswith("decimal")
+        ] + [
+            f"duck:{c}:{t}"
+            for c, t in zip(rel.columns, [str(t) for t in rel.types])
+            if "DECIMAL" in str(t) or "HUGEINT" in str(t) or "INT128" in str(t)
+        ]
+        if bad_types:
+            print(f"FAIL {name}: driver-hash-unsafe output types {bad_types}")
             failures += 1
             continue
         if len(srows) != len(orows):
