@@ -278,6 +278,111 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return agg.select("id", bits.alias("simhash"))
 
 
+SIMHASH64_BITS = 64
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over distinct whitespace tokens: ``id, simhash``.
+
+    Two seeded md5s per token ('0:'||t, '1:'||t) contribute 32 nibble-high
+    bits each — same portable construction as the 16-bit variant, widened so
+    equal-signature buckets stay selective at corpus scale (a 16-bit space
+    has 65,536 buckets: at 10^12 docs EVERY bucket holds ~10^7 docs, so any
+    pairing on equal 16-bit signatures is quadratic — the round-1 scale flag).
+    Emitted as a 64-char '0'/'1' string.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("t"),
+    ).select(
+        "id",
+        F.md5(F.concat(F.lit("0:"), F.col("t"))).alias("h0"),
+        F.md5(F.concat(F.lit("1:"), F.col("t"))).alias("h1"),
+    )
+    aggs = []
+    for j in range(SIMHASH64_BITS):
+        h, pos = ("h0", j) if j < 32 else ("h1", j - 32)
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.substring(F.col(h), pos + 1, 1).isin(*list(_HIGH_NIBBLES)), F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"s{j}")
+        )
+    agg = tok.groupBy("id").agg(*aggs)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(SIMHASH64_BITS)
+        ]
+    )
+    return agg.select("id", bits.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between equal-length '0'/'1' strings — exact integer,
+    engine-portable (DuckDB: ``hamming(a, b)``)."""
+    return F.aggregate(
+        F.zip_with(
+            F.split(a, ""), F.split(b, ""), lambda x, y: (x != y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 4,
+    max_hamming: int = 8,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """SimHash near-dup pairs: ``id1, id2, hamming`` (hamming <= max_hamming).
+
+    Pairing is via BANDED sub-signatures (bands × 16-bit slices of the 64-bit
+    signature): candidates = documents sharing at least one exact band —
+    shuffle work ∝ band collisions, never all-pairs — then exact Hamming
+    verification over the full signature. Oversized band buckets are dropped
+    by the count pre-pass (recall-only loss).
+    """
+    sig = simhash64(df, text_col, id_col)
+    width = SIMHASH64_BITS // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring(F.col("simhash"), b * width + 1, width).alias("val"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sig.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("bv")
+    ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    exploded = _cap_buckets(exploded, ["band", "val"], max_bucket)
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.simhash").alias("__s1"),
+            F.col("b.simhash").alias("__s2"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id1", "id2", hamming_distance(F.col("__s1"), F.col("__s2")).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 # ------------------------------------------------- embedding cosine near-dup
 def _quantize(vec: Column, scale: int) -> Column:
     """array<float> → array<long> via floor(x*scale + 0.5) — a single exact

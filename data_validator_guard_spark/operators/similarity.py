@@ -100,6 +100,37 @@ def lsh_bucket(vec: Column, n_planes: int = 4) -> Column:
     return F.concat(*bits)
 
 
+def quantized_lsh_bucket(vec: Column, n_planes: int = 4, scale: int = 1000) -> Column:
+    """Sign-bucket id over integer-quantized vectors — same plane family as
+    ``lsh_bucket`` but the projection is exact int64 arithmetic (no float
+    summation-order sign flips near 0), so the bucket decision is
+    engine-portable and SQL-oracle-replicable bit for bit."""
+    from data_validator_guard_spark.operators.dedup import _int_lsh_bits, _quantize
+
+    return _int_lsh_bits(_quantize(vec, scale), n_planes)
+
+
+def _probe_buckets(bucket: Column, n_planes: int, multiprobe: bool) -> Column:
+    """Array of buckets to search for a query: its own bucket plus (when
+    ``multiprobe``) every bucket at Hamming distance 1 — the standard
+    multi-probe LSH trick. A near-neighbor differs from the query in few
+    sign bits, so probing 1-bit flips recovers most of the recall a single
+    probe loses, at (n_planes+1)× the candidate volume on the QUERY side
+    only (the corpus keeps exactly one bucket per vector, so the big side's
+    shuffle/storage is unchanged)."""
+    if not multiprobe:
+        return F.array(bucket)
+    flips = [
+        F.concat(
+            F.substring(bucket, 1, p),
+            F.when(F.substring(bucket, p + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+            F.substring(bucket, p + 2, n_planes - p - 1),
+        )
+        for p in range(n_planes)
+    ]
+    return F.array(bucket, *flips)
+
+
 def bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -107,21 +138,30 @@ def bucketed_topk(
     id_col: str = "vec_id",
     k: int = 5,
     n_planes: int = 4,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """ANN top-k within the query's LSH bucket: ``query_id, neighbor_id, rank``.
+    """ANN top-k within the query's LSH bucket(s): ``query_id, neighbor_id,
+    rank``.
 
     The corpus is scanned once with its bucket computed inline; the join key
-    is the bucket, so comparisons drop by ~2^n_planes vs brute force.
+    is the bucket, so comparisons drop by ~2^n_planes/(n_planes+1) vs brute
+    force. The bucket is the integer-quantized sign bucket (portable); the
+    within-bucket ranking is exact cosine over the original vectors. With
+    ``multiprobe`` (default) each query also searches the n_planes buckets
+    one bit-flip away — a corpus vector lives in exactly one bucket and the
+    probe buckets are distinct, so a (query, neighbor) pair joins at most
+    once (no dedup pass needed).
     """
+    qb = quantized_lsh_bucket(F.col(vec_col), n_planes)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        lsh_bucket(F.col(vec_col), n_planes).alias("__bucket"),
+        F.explode(_probe_buckets(qb, n_planes, multiprobe)).alias("__bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        lsh_bucket(F.col(vec_col), n_planes).alias("__bucket"),
+        quantized_lsh_bucket(F.col(vec_col), n_planes).alias("__bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "__bucket")
@@ -139,4 +179,35 @@ def bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Recall harness for ANN results vs the exact baseline.
+
+    ``exact``/``approx``: (query_id, neighbor_id, rank) frames. Returns one
+    row per query: ``query_id, n_hits, n_exact, recall`` with
+    recall = n_hits / n_exact (one IEEE division of two exact integers —
+    reproducible across engines). This converts the ANN path's unavoidable
+    recall < 1 into a MEASURED, assertable number instead of an unchecked
+    output (pytest pins a floor; the oracle reproduces the whole harness).
+    """
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        totals.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
     )

@@ -727,15 +727,108 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries_df, "embedding", "vec_id", k=5)
 
 
-@query("similarity_bucketed")
+def _bucket_sql(vec: str, n_planes: int = 4, scale: int = 1000) -> str:
+    """DuckDB replica of operators.similarity.quantized_lsh_bucket — integer
+    quantization makes the sign decision exact, so the bucket is identical in
+    both engines (same construction as _emb_neardup_oracle)."""
+    qv = f"list_transform({vec}, x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT))"
+    proj = lambda p: (  # noqa: E731
+        f"list_sum(list_transform(generate_series(1, len({qv})), "
+        f"d -> {qv}[d] * (((d*31 + {p * 17}) % 7) - 3)))"
+    )
+    return " || ".join(
+        f"(CASE WHEN {proj(p)} >= 0 THEN '1' ELSE '0' END)" for p in range(n_planes)
+    )
+
+
+_N_PLANES = 4
+_PROBE_FLIPS = "\n".join(
+    "  UNION ALL SELECT query_id, qv, "
+    f"substr(bucket, 1, {p}) || "
+    f"(CASE WHEN substr(bucket, {p + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
+    f"substr(bucket, {p + 2}) FROM q"
+    for p in range(_N_PLANES)
+)
+
+_BUCKETED_CTE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding', _N_PLANES)} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qv, bucket FROM q
+{_PROBE_FLIPS}
+),
+approx AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+                            ORDER BY list_cosine_similarity(p.qv, c.embedding) DESC,
+                                     c.vec_id) AS rank
+  FROM probes p JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.query_id
+)
+"""
+
+
+@query(
+    "similarity_bucketed",
+    oracle=_BUCKETED_CTE
+    + """
+SELECT query_id, neighbor_id, rank FROM approx WHERE rank <= 5
+""",
+)
 def q_similarity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path; rows-only check — recall is by design
-    bucket-dependent, the oracle-checked baseline is similarity_topk)."""
+    """LSH-bucketed ANN (scale path). The integer-quantized bucket decision
+    is exact in both engines, so this is now fully oracle-checked (round 1
+    ran it rows-only with the float bucket)."""
     from data_validator_guard_spark.operators.similarity import bucketed_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return bucketed_topk(emb, queries_df, "embedding", "vec_id", k=5, n_planes=4)
+
+
+@query(
+    "similarity_recall",
+    oracle=_BUCKETED_CTE
+    + """
+, exact AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC,
+                                     c.vec_id) AS rank
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+),
+exact5 AS (SELECT query_id, neighbor_id FROM exact WHERE rank <= 5),
+approx5 AS (SELECT query_id, neighbor_id FROM approx WHERE rank <= 5),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact5 e
+  JOIN approx5 a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+),
+tot AS (SELECT query_id, COUNT(*) AS n_exact FROM exact5 GROUP BY query_id)
+SELECT t.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(t.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE) AS recall
+FROM tot t LEFT JOIN hits h ON h.query_id = t.query_id
+""",
+)
+def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the bucketed ANN vs the exact baseline, per query — the
+    ANN path's accuracy is a measured, oracle-checked output rather than an
+    unchecked claim (VERDICT round-1 gap #4)."""
+    from data_validator_guard_spark.operators.similarity import (
+        brute_force_topk,
+        bucketed_topk,
+        recall_at_k,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries_df, "embedding", "vec_id", k=5)
+    approx = bucketed_topk(emb, queries_df, "embedding", "vec_id", k=5, n_planes=4)
+    return recall_at_k(exact, approx)
 
 
 # =====================================================================
@@ -763,7 +856,7 @@ rewritten AS (
          CASE WHEN r.correct_value IS NOT NULL THEN 'rewritten' ELSE 'kept' END AS __action
   FROM kept k
   LEFT JOIN (SELECT source, correct_value FROM rb
-             WHERE action IN ('update','merge','use') AND correct_value IS NOT NULL) r
+             WHERE action IN ('update','merge','add') AND correct_value IS NOT NULL) r
     ON k.source = r.source
 )
 SELECT * FROM rewritten
@@ -2050,3 +2143,134 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k.isNull().cast("bigint")).alias("n_missing"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# =====================================================================
+# 40. Composite-key rulebook corrections (the reference ESM system's 4-part
+#     key (participant_identifier, participant_number, VisitCode, SiteCode),
+#     general_id_cleaning.py:96-101,185-251) with reference-aligned action
+#     semantics: `add` assigns the correct id (:114,196-214), `use` is
+#     skipped (:119). Byte-identity of surviving rows proven via sha256.
+# =====================================================================
+_CLEANING_ESM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source, lang,
+         CAST(doc_id % 3 AS VARCHAR) AS visit,
+         CAST(doc_id % 2 AS VARCHAR) AS site,
+         text
+  FROM documents
+),
+rb AS (
+  SELECT * FROM (VALUES
+    ('src1', 'en', '0', '0', NULL, 'delete'),
+    ('src3', 'de', '1', '1', 'src303', 'add'),
+    ('src5', 'fr', '2', '0', 'src505', 'update'),
+    ('src7', 'es', '0', '1', 'src707', 'use')
+  ) AS v(source, lang, visit, site, correct_value, action)
+),
+kept AS (
+  SELECT t.* FROM t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rb WHERE rb.action = 'delete'
+      AND rb.source = t.source AND rb.lang = t.lang
+      AND rb.visit = t.visit AND rb.site = t.site
+  )
+)
+SELECT k.doc_id,
+       COALESCE(r.correct_value, k.source) AS source,
+       k.lang, k.visit, k.site,
+       sha256(k.text) AS text_sha,
+       CASE WHEN r.correct_value IS NOT NULL THEN 'rewritten' ELSE 'kept' END AS __action
+FROM kept k
+LEFT JOIN (SELECT source, lang, visit, site, correct_value FROM rb
+           WHERE action IN ('update','merge','add') AND correct_value IS NOT NULL) r
+  ON k.source = r.source AND k.lang = r.lang
+ AND k.visit = r.visit AND k.site = r.site
+"""
+
+
+@query("cleaning_rulebook_esm", oracle=_CLEANING_ESM_ORACLE)
+def q_cleaning_rulebook_esm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.cleaning import apply_rulebook
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            (F.col("doc_id") % 3).cast("string").alias("visit"),
+            (F.col("doc_id") % 2).cast("string").alias("site"),
+            "text",
+        )
+    )
+    rb = spark.createDataFrame(
+        [
+            ("src1", "en", "0", "0", None, "delete"),
+            ("src3", "de", "1", "1", "src303", "add"),
+            ("src5", "fr", "2", "0", "src505", "update"),
+            ("src7", "es", "0", "1", "src707", "use"),
+        ],
+        "source string, lang string, visit string, site string, correct_value string, action string",
+    )
+    cleaned = apply_rulebook(docs, rb, key_col=("source", "lang", "visit", "site"))
+    return cleaned.select(
+        "doc_id", "source", "lang", "visit", "site",
+        F.sha2(F.col("text"), 256).alias("text_sha"), "__action",
+    )
+
+
+# =====================================================================
+# 41. 64-bit SimHash near-dup with banded pairing (round-1 scale flag: a
+#     16-bit signature space is quadratic-within-bucket at corpus scale).
+#     Candidates share >= 1 exact 16-bit band; verification is exact
+#     Hamming over the full 64-bit signature (DuckDB `hamming`).
+# =====================================================================
+_SIMHASH64_SUMS = ",\n".join(
+    "    SUM(CASE WHEN strpos('89abcdef', substr({h}, {pos}, 1)) > 0 "
+    "THEN 1 ELSE -1 END) AS s{j}".format(
+        h="h0" if j < 32 else "h1", pos=(j % 32) + 1, j=j
+    )
+    for j in range(64)
+)
+_SIMHASH64_BITS_SQL = " || ".join(
+    f"(CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END)" for j in range(64)
+)
+_SIMHASH64_BANDS = "\n  UNION ALL ".join(
+    f"SELECT id, simhash, {b} AS band, substr(simhash, {b * 16 + 1}, 16) AS val FROM sig"
+    for b in range(4)
+)
+
+_SIMHASH64_ORACLE = (
+    _NEAR_DUP_CTE
+    + rf""",
+tok AS (
+  SELECT DISTINCT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM docs
+),
+h AS (SELECT id, md5('0:' || t) AS h0, md5('1:' || t) AS h1 FROM tok),
+agg AS (
+  SELECT id,
+{_SIMHASH64_SUMS}
+  FROM h GROUP BY id
+),
+sig AS (SELECT id, {_SIMHASH64_BITS_SQL} AS simhash FROM agg),
+bands AS (
+  {_SIMHASH64_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2, a.simhash AS s1, b.simhash AS s2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.id < b.id
+)
+SELECT id1, id2, CAST(hamming(s1, s2) AS BIGINT) AS hamming
+FROM cand WHERE hamming(s1, s2) <= 4
+"""
+)
+
+
+@query("dedup_simhash64", oracle=_SIMHASH64_ORACLE)
+def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.dedup import simhash_near_duplicates
+
+    dup = _docs_with_near_dups(spark, sf_dir)
+    return simhash_near_duplicates(dup, "text", "doc_id", bands=4, max_hamming=4)
