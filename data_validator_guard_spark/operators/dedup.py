@@ -512,3 +512,60 @@ def embedding_near_duplicates(
     lhs = (dot * dot) * F.lit(10000).cast("decimal(5,0)")
     rhs = (F.lit(t2).cast("decimal(5,0)") * na2) * nb2
     return pairs.filter((F.col("__dot") > 0) & (lhs >= rhs)).select("id1", "id2")
+
+
+# ------------------------------------------------- cluster assignment
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster assignment over near-dup pairs: ``id, cluster`` where cluster
+    = the minimum document id reachable through the pair graph (the canonical
+    survivor of each duplicate cluster — pipelines keep one row per cluster).
+
+    Distributed min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors; converges in O(diameter)
+    rounds (duplicate clusters are near-cliques from LSH banding, so the
+    diameter is tiny). The loop is driver-COORDINATED but never driver-sized:
+    each round is one join + one aggregation on the cluster; the driver sees
+    only a changed-row count. Lineage is truncated per round with
+    ``localCheckpoint`` so the plan does not grow with iterations
+    (the standard Spark idiom for iterative algorithms; GraphX/Pregel does
+    the same internally).
+
+    Deterministic: min() over a deterministic edge set — no RNG, no order
+    dependence — so a SQL oracle reproduces it with a recursive CTE.
+    """
+    edges = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        ids.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            sym.join(labels, sym.a == labels.id)
+            .select(F.col("b").alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster"))

@@ -570,7 +570,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(dup, "text", "doc_id")
 
 
-_MINHASH_ORACLE = (
+# CTE body shared by the pair query and the cluster query (the cluster oracle
+# appends a recursive closure over the same verified pairs).
+_MINHASH_CTES = (
     _NEAR_DUP_CTE
     + r""",
 words AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS w FROM docs),
@@ -605,13 +607,17 @@ inter AS (
   JOIN sh s1 ON s1.id = c.id1
   JOIN sh s2 ON s2.id = c.id2 AND s2.shingle = s1.shingle
   GROUP BY c.id1, c.id2
+),
+verified AS (
+  SELECT i.id1, i.id2,
+         CAST(i.n_inter AS DOUBLE) / CAST(z1.sz + z2.sz - i.n_inter AS DOUBLE) AS jaccard
+  FROM inter i JOIN sizes z1 ON z1.id = i.id1 JOIN sizes z2 ON z2.id = i.id2
+  WHERE CAST(i.n_inter AS DOUBLE) / CAST(z1.sz + z2.sz - i.n_inter AS DOUBLE) >= 0.7
 )
-SELECT i.id1, i.id2,
-       CAST(i.n_inter AS DOUBLE) / CAST(z1.sz + z2.sz - i.n_inter AS DOUBLE) AS jaccard
-FROM inter i JOIN sizes z1 ON z1.id = i.id1 JOIN sizes z2 ON z2.id = i.id2
-WHERE CAST(i.n_inter AS DOUBLE) / CAST(z1.sz + z2.sz - i.n_inter AS DOUBLE) >= 0.7
 """
 )
+
+_MINHASH_ORACLE = _MINHASH_CTES + "SELECT id1, id2, jaccard FROM verified"
 
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
@@ -2274,3 +2280,125 @@ def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dup = _docs_with_near_dups(spark, sf_dir)
     return simhash_near_duplicates(dup, "text", "doc_id", bands=4, max_hamming=4)
+
+
+# =====================================================================
+# 42. Duplicate-cluster assignment: connected components over verified
+#     MinHash near-dup pairs (min reachable doc_id = canonical survivor).
+#     Spark side: distributed min-label propagation; oracle: recursive CTE
+#     transitive closure over the SAME verified pairs.
+# =====================================================================
+_CLUSTERS_ORACLE = (
+    _MINHASH_CTES.replace("WITH docs AS (", "WITH RECURSIVE docs AS (", 1)
+    + """
+, sym AS (
+  SELECT id1 AS a, id2 AS b FROM verified
+  UNION ALL
+  SELECT id2, id1 FROM verified
+),
+nodes AS (SELECT DISTINCT doc_id AS id FROM docs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+)
+SELECT n.id,
+       CAST(LEAST(n.id, COALESCE(MIN(r.b), n.id)) AS BIGINT) AS cluster
+FROM nodes n LEFT JOIN reach r ON r.a = n.id
+GROUP BY n.id
+"""
+)
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's cluster = min doc_id reachable through near-dup pairs;
+    pipelines keep one row per cluster (the reference's keep='first' dedup,
+    general_validation.py:19-27, generalized to transitive duplicate groups)."""
+    from data_validator_guard_spark.operators.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    dup = _docs_with_near_dups(spark, sf_dir)
+    pairs = minhash_near_duplicates(dup, "text", "doc_id", k=8, bands=4, n=3, threshold=0.7)
+    return connected_components(dup.select("doc_id"), pairs, id_col="doc_id")
+
+
+# =====================================================================
+# 43. Sliding event-time window (RANGE frame over seconds): 30-day rolling
+#     order total per customer. Exact decimal accumulation inside the frame,
+#     one final double cast (W-family: range frames, not just row frames).
+# =====================================================================
+@query(
+    "rolling_order_totals",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) OVER (
+         PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_30d
+FROM orders
+""",
+)
+def q_rolling_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed on epoch seconds — ties (equal timestamps) are IN
+    the frame together in both engines, so the sum is frame-deterministic
+    without a row tiebreak."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_30d"),
+    )
+
+
+# =====================================================================
+# 44. Deterministic hash split (train/val/test) — the training-pipeline
+#     sampling primitive: bucket = md5(doc_id) mod 100, engine-portable
+#     (no RNG, no order dependence; stable across reruns and engines).
+# =====================================================================
+_SPLIT_BUCKET_SQL = """
+(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 16
+  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) % 100
+"""
+
+
+@query(
+    "train_val_split",
+    oracle=f"""
+SELECT doc_id,
+       CAST({_SPLIT_BUCKET_SQL} AS BIGINT) AS bucket,
+       CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train'
+            WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split assignment from the first 3 hex nibbles of
+    md5(doc_id) — adding rows never reshuffles existing assignments (the
+    property RNG-based sampling lacks)."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -33,15 +33,72 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
             spark.read.parquet(path).createOrReplaceTempView(name)
 
 
-def read_csv(spark: SparkSession, path: str, schema: str, sep: str = ";") -> DataFrame:
-    """CSV scan with explicit schema (S1 analog) — no sniffing: the engine's
-    input contract declares schema + separator up front."""
-    return (
-        spark.read.option("header", True)
-        .option("sep", sep)
-        .schema(schema)
-        .csv(path)
+# BOM signatures in sniff order (longest first — UTF-32 LE's BOM starts with
+# UTF-16 LE's two bytes).
+_BOMS = (
+    (b"\x00\x00\xfe\xff", "UTF-32BE"),
+    (b"\xff\xfe\x00\x00", "UTF-32LE"),
+    (b"\xef\xbb\xbf", "UTF-8"),
+    (b"\xfe\xff", "UTF-16BE"),
+    (b"\xff\xfe", "UTF-16LE"),
+)
+
+
+def detect_encoding(spark: SparkSession, path: str, sample_files: int = 4) -> str:
+    """Encoding detection for text sources (S3; the reference sniffs with
+    chardet per file, `database/db.py:82-90`).
+
+    Distributed-safe shape: sample the first ``sample_files`` files via the
+    ``binaryFile`` reader (driver sees only K × leading bytes, never file
+    bodies at scale), sniff BOMs, else try strict UTF-8 and fall back to
+    ISO-8859-1 (which decodes any byte sequence). Heuristic by nature —
+    callers with a known contract should pass the encoding explicitly.
+    """
+    rows = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .limit(sample_files)
+        .collect()
     )
+    votes: list[str] = []
+    for (data,) in rows:
+        head = bytes(data[:4096])
+        enc = None
+        for bom, name in _BOMS:
+            if head.startswith(bom):
+                enc = name
+                break
+        if enc is None:
+            try:
+                head.decode("utf-8")
+                enc = "UTF-8"
+            except UnicodeDecodeError:
+                enc = "ISO-8859-1"
+        votes.append(enc)
+    if not votes:
+        return "UTF-8"
+    # majority vote, ties broken by first-seen (deterministic: binaryFile
+    # lists files in path order)
+    return max(votes, key=lambda e: (votes.count(e), -votes.index(e)))
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    sep: str = ";",
+    encoding: str | None = None,
+) -> DataFrame:
+    """CSV scan with explicit schema (S1 analog) — no schema sniffing: the
+    engine's input contract declares schema + separator up front.
+    ``encoding=None`` keeps the reader default (UTF-8); pass
+    ``detect_encoding(...)``'s result to mirror the reference's sniffing
+    ingest (S3) when the contract is unknown."""
+    reader = spark.read.option("header", True).option("sep", sep).schema(schema)
+    if encoding is not None:
+        reader = reader.option("encoding", encoding)
+    return reader.csv(path)
 
 
 def write_report(df: DataFrame, path: str, fmt: str = "parquet") -> None:

@@ -489,3 +489,16 @@ def test_simhash64_banded_near_duplicates(spark):
         hamming_distance(_F.lit("1010"), _F.lit("1001")).alias("h")
     )
     assert d.collect()[0].h == 2
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """A chain 1-2-3 collapses to cluster 1 (transitive), 4-5 to 4, isolates
+    keep themselves — min-label propagation needs >1 round for the chain."""
+    from data_validator_guard_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "id bigint")
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 5)], "id1 bigint, id2 bigint"
+    )
+    got = {r.id: r.cluster for r in connected_components(ids, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}

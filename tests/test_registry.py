@@ -60,3 +60,26 @@ def test_read_source_parquet_fallback(spark, tmp_path):
     spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p)
     got = read_source(spark, p, snapshot_id="snap1").collect()
     assert [(r.id, r.v) for r in got] == [(1, "a")]
+
+
+def test_detect_encoding_bom_and_fallback(spark, tmp_path):
+    from data_validator_guard_spark.sources import detect_encoding, read_csv
+
+    d = tmp_path / "enc"
+    d.mkdir()
+    (d / "a.csv").write_bytes("id;v\n1;café\n".encode("utf-8"))
+    (d / "b.csv").write_bytes("id;v\n2;naïve\n".encode("utf-8"))
+    assert detect_encoding(spark, str(d)) == "UTF-8"
+
+    d16 = tmp_path / "enc16"
+    d16.mkdir()
+    (d16 / "a.csv").write_bytes("id;v\n1;x\n".encode("utf-16"))  # writes BOM
+    enc16 = detect_encoding(spark, str(d16))
+    assert enc16.startswith("UTF-16")
+
+    dlatin = tmp_path / "enclatin"
+    dlatin.mkdir()
+    (dlatin / "a.csv").write_bytes(b"id;v\n1;caf\xe9\n")  # bare latin-1 byte
+    assert detect_encoding(spark, str(dlatin)) == "ISO-8859-1"
+    df = read_csv(spark, str(dlatin), "id int, v string", encoding="ISO-8859-1")
+    assert df.collect()[0].v == "café"
