@@ -130,3 +130,105 @@ def read_source(
     if snapshot_id is not None:
         reader = reader.option("snapshot-id", str(snapshot_id))
     return reader.table(source)
+
+
+def _parse_xlsx_bytes(content: bytes, columns: list[str], sheet: str) -> "list[dict]":
+    """Parse one xlsx payload (zip of XML — stdlib only) into row dicts of
+    strings keyed by ``columns``. Supports the cell types the reference's
+    intake actually meets (`/root/reference/database/db.py:78-110` via
+    pandas.read_excel): shared strings, inline strings, numeric/boolean
+    values. First row = header; rows map header→column by name."""
+    import io
+    import re
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    z = zipfile.ZipFile(io.BytesIO(content))
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in z.namelist():
+        root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+        shared = [
+            "".join(t.text or "" for t in si.iter(f"{NS}t"))
+            for si in root.iter(f"{NS}si")
+        ]
+    sheet_root = ET.fromstring(z.read(f"xl/worksheets/{sheet}.xml"))
+
+    def col_index(ref: str | None) -> int | None:
+        if not ref:
+            return None
+        letters = re.match(r"[A-Z]+", ref)
+        if not letters:
+            return None
+        idx = 0
+        for ch in letters.group(0):
+            idx = idx * 26 + (ord(ch) - ord("A") + 1)
+        return idx - 1
+
+    raw_rows: list[dict[int, str | None]] = []
+    for row in sheet_root.iter(f"{NS}row"):
+        cells: dict[int, str | None] = {}
+        auto_idx = 0
+        for c in row.iter(f"{NS}c"):
+            idx = col_index(c.get("r"))
+            if idx is None:
+                idx = auto_idx
+            auto_idx = idx + 1
+            t = c.get("t")
+            if t == "s":
+                v = c.find(f"{NS}v")
+                val = shared[int(v.text)] if v is not None else None
+            elif t == "inlineStr":
+                is_el = c.find(f"{NS}is")
+                val = (
+                    "".join(tt.text or "" for tt in is_el.iter(f"{NS}t"))
+                    if is_el is not None
+                    else None
+                )
+            else:
+                v = c.find(f"{NS}v")
+                val = v.text if v is not None else None
+            cells[idx] = val
+        raw_rows.append(cells)
+    if not raw_rows:
+        return []
+    header = raw_rows[0]
+    pos_by_name = {name: pos for pos, name in header.items() if name is not None}
+    out = []
+    for cells in raw_rows[1:]:
+        out.append({col: cells.get(pos_by_name.get(col, -1)) for col in columns})
+    return out
+
+
+def read_excel(
+    spark: SparkSession, path: str, columns: list[str], sheet: str = "sheet1"
+) -> DataFrame:
+    """Distributed minimal XLSX scan (S2 — the reference ingests .xlsx trees
+    via pandas.read_excel, `database/db.py:78-110`; round 1 documented this
+    out of scope for lack of a distributed Excel reader, so here is one).
+
+    Shape: ``binaryFile`` scan (one row per file, bytes never touch the
+    driver) → Arrow-batched ``mapInPandas`` parsing each workbook with
+    stdlib ``zipfile`` + ``ElementTree`` — xlsx IS a zip of XML, no external
+    engine needed. One task per file; a directory of workbooks parses in
+    parallel. All values emitted as strings (header row maps cells to
+    ``columns`` by name); cast downstream per the declared contract —
+    exactly the reference's pandas dtype=str intake.
+
+    Deliberately minimal: shared/inline strings, numbers, booleans; no
+    formula evaluation, no date-style conversion (the serial number string
+    comes through as stored).
+    """
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for content in pdf["content"]:
+                rows.extend(_parse_xlsx_bytes(bytes(content), columns, sheet))
+            yield pd.DataFrame(rows, columns=columns, dtype=object)
+
+    out_schema = ", ".join(f"`{c}` string" for c in columns)
+    return files.select("content").mapInPandas(parse, out_schema)

@@ -83,3 +83,48 @@ def test_detect_encoding_bom_and_fallback(spark, tmp_path):
     assert detect_encoding(spark, str(dlatin)) == "ISO-8859-1"
     df = read_csv(spark, str(dlatin), "id int, v string", encoding="ISO-8859-1")
     assert df.collect()[0].v == "café"
+
+
+def _mini_xlsx(rows, tmp, name):
+    """Hand-construct a minimal xlsx (zip of XML): header via inline strings,
+    data via shared strings + numeric cells."""
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    shared = []
+
+    def cell(ref, val):
+        if isinstance(val, (int, float)):
+            return f'<c r="{ref}"><v>{val}</v></c>'
+        if val is None:
+            return f'<c r="{ref}"/>'
+        shared.append(str(val))
+        return f'<c r="{ref}" t="s"><v>{len(shared) - 1}</v></c>'
+
+    body = []
+    for i, row in enumerate(rows, start=1):
+        cells = "".join(cell(f"{chr(ord('A') + j)}{i}", v) for j, v in enumerate(row))
+        body.append(f'<row r="{i}">{cells}</row>')
+    sheet = f'<worksheet {ns}><sheetData>{"".join(body)}</sheetData></worksheet>'
+    sst = f'<sst {ns}>' + "".join(f"<si><t>{s}</t></si>" for s in shared) + "</sst>"
+    p = tmp / name
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", sst)
+    return p
+
+
+def test_read_excel_minimal_workbooks(spark, tmp_path):
+    """S2: distributed stdlib xlsx ingest — two workbooks in one directory
+    parse in parallel via binaryFile + mapInPandas; header maps by name."""
+    from data_validator_guard_spark.sources import read_excel
+
+    d = tmp_path / "xlsx"
+    d.mkdir()
+    _mini_xlsx(
+        [("pid", "city", "n"), ("P1", "London", 3), ("P2", "Paris", 4)], d, "a.xlsx"
+    )
+    _mini_xlsx([("pid", "city", "n"), ("P3", None, 5)], d, "b.xlsx")
+    df = read_excel(spark, str(d), ["pid", "city", "n"])
+    got = {r.pid: (r.city, r.n) for r in df.collect()}
+    assert got == {"P1": ("London", "3"), "P2": ("Paris", "4"), "P3": (None, "5")}
