@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from data_validator_guard_spark.operators.text import normalize_text
 
@@ -194,9 +195,19 @@ def minhash_near_duplicates(
     identically so in any engine given the same hash family).
     ``max_bucket`` bounds the per-band-bucket pair blowup (recall-only loss).
     """
-    sig = minhash_signature(df, text_col, id_col, k, n)
+    # The signature and shingle frames each feed several subplans (cap
+    # pre-pass, both self-join sides, the verify join): without a persist,
+    # Spark re-executes the whole shingle+minhash pipeline once per use
+    # (verified: 7 parquet scans in the executed plan). Both frames are small
+    # relative to the corpus (k hashes / distinct shingles per doc);
+    # MEMORY_AND_DISK spills rather than OOMs at scale.
+    sig = minhash_signature(df, text_col, id_col, k, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = lsh_candidate_pairs(sig, k, bands, max_bucket)
-    shingles = shingle_table(df, text_col, id_col, n)
+    shingles = shingle_table(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return jaccard_verify(pairs, shingles, threshold)
 
 
@@ -221,7 +232,9 @@ def ngram_jaccard_duplicates(
         F.floor(F.length(F.col(text_col)) / length_bucket).alias("__lb"),
         word_shingles(F.col(text_col), n).alias("__sh"),
     )
-    base = _cap_buckets(base, [*block_cols, "__lb"], max_bucket)
+    base = _cap_buckets(base, [*block_cols, "__lb"], max_bucket).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = base.alias("a")
     b = base.alias("b")
     cond = (F.col("a.id") < F.col("b.id")) & (F.col("a.__lb") == F.col("b.__lb"))
@@ -349,7 +362,7 @@ def simhash_near_duplicates(
     verification over the full signature. Oversized band buckets are dropped
     by the count pre-pass (recall-only loss).
     """
-    sig = simhash64(df, text_col, id_col)
+    sig = simhash64(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     width = SIMHASH64_BITS // bands
     band_structs = [
         F.struct(
@@ -494,7 +507,9 @@ def embedding_near_duplicates(
         _int_lsh_bits(F.col("__q"), n_planes).alias("__bucket"),
         checked_n2.alias("__n2"),
     )
-    keyed = _cap_buckets(keyed, ["__bucket"], max_bucket)
+    keyed = _cap_buckets(keyed, ["__bucket"], max_bucket).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = a.join(
         b,

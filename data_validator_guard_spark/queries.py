@@ -2402,3 +2402,48 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+# =====================================================================
+# 45. Incremental stats: per-snapshot partials MERGED (counts add, min/max
+#     fold) must equal whole-table stats — the resumable-validation identity
+#     at 10^12 rows (never rescan history). HLL cardinality is excluded
+#     here: sketches are not SQL-expressible; their merge is pytest-covered
+#     (test_partial_stats_merge_equals_full).
+# =====================================================================
+@query(
+    "stats_partial_merge",
+    oracle="""
+SELECT col AS "column",
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(SUM(CASE WHEN v IS NULL OR trim(v) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+       MIN(v) AS min_val,
+       MAX(v) AS max_val,
+       CAST(SUM(COALESCE(length(v), 0)) AS BIGINT) AS sum_len
+FROM (
+  SELECT 'lang' AS col, lang AS v FROM documents
+  UNION ALL
+  SELECT 'source', source FROM documents
+)
+GROUP BY col
+""",
+)
+def q_stats_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partials computed per half-snapshot, merged with merge_column_stats —
+    algebraic measures only, proving merge(partials) == full-table stats
+    against the oracle computing directly over the whole table."""
+    from data_validator_guard_spark.operators.stats import (
+        merge_column_stats,
+        partial_column_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    partials = partial_column_stats(halves[0], ["lang", "source"]).unionByName(
+        partial_column_stats(halves[1], ["lang", "source"])
+    )
+    merged = merge_column_stats(partials)
+    return merged.select(
+        "column", "n_rows", "n_null", "n_blank", "min_val", "max_val", "sum_len"
+    )
