@@ -163,3 +163,30 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10) -> DataFrame:
     topk = counts.orderBy(F.col("n").desc(), F.col("value")).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("value"))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+# PII detection patterns — RE2/Java-portable (no backreferences, no lookarounds)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document PII pattern counts: ``id, n_email, n_phone, n_ipv4,
+    has_pii`` — the scrub-before-training screening pass, entirely
+    expression-level (regexp_count, JVM-side; patterns chosen to behave
+    identically under Java regex and RE2). Counts are a *screen*, not a
+    guarantee — a production scrubber layers NER on top; this finds the
+    structured 95%."""
+    t = F.col(text_col)
+    counts = {k: F.regexp_count(t, F.lit(p)) for k, p in PII_PATTERNS.items()}
+    has = None
+    for c in counts.values():
+        has = (c > 0) if has is None else (has | (c > 0))
+    return df.select(
+        F.col(id_col),
+        *[counts[k].alias(f"n_{k}") for k in PII_PATTERNS],
+        has.alias("has_pii"),
+    )

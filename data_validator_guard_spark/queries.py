@@ -2447,3 +2447,86 @@ def q_stats_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "column", "n_rows", "n_null", "n_blank", "min_val", "max_val", "sum_len"
     )
+
+
+# =====================================================================
+# 46. PII pattern screen (scrub-before-training): planted emails/phones/
+#     IPs so every counter exercises a non-zero path; patterns are
+#     Java-regex/RE2 portable so both engines count identically.
+# =====================================================================
+@query(
+    "pii_scan",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN ' contact: user7@example.com' ELSE '' END
+              || CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.0.1' ELSE '' END
+              || CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+       OR len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) > 0
+       OR len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0 AS has_pii
+FROM t
+""",
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import pii_scan
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" contact: user7@example.com")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" from 192.168.0.1")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(docs, "text", "doc_id")
+
+
+# =====================================================================
+# 47. Expected-schema validation (the north rule's "schema" half): declared
+#     contract vs actual catalog, one row per discrepancy. The contract
+#     below plants one of each defect class against the real testdata
+#     schemas; metadata-only (no data scan), oracle = the literal expected
+#     discrepancy set.
+# =====================================================================
+@query(
+    "schema_check_testdata",
+    oracle="""
+SELECT * FROM (VALUES
+  ('documents', 'n_chars', 'type_mismatch', 'string', 'bigint'),
+  ('documents', 'quality', 'missing_column', 'double', CAST(NULL AS VARCHAR)),
+  ('documents', 'source', 'unexpected_column', CAST(NULL AS VARCHAR), 'string'),
+  ('ghost_table', CAST(NULL AS VARCHAR), 'missing_table', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+) AS t(table_name, column_name, status, expected_type, actual_type)
+""",
+)
+def q_schema_check_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.search import schema_check
+
+    tables = {
+        "documents": read_table(spark, sf_dir, "documents"),
+        "events": read_table(spark, sf_dir, "events"),
+    }
+    expected = [
+        ("documents", "doc_id", "bigint"),
+        ("documents", "text", "string"),
+        ("documents", "lang", "string"),
+        ("documents", "n_chars", "string"),    # planted: actually bigint
+        ("documents", "quality", "double"),    # planted: absent
+        # 'source' deliberately undeclared → unexpected_column
+        ("events", "event_id", "bigint"),
+        ("events", "ts", "timestamp_ntz"),
+        ("events", "user_id", "bigint"),
+        ("events", "event_type", "string"),
+        ("events", "value", "double"),
+        ("events", "props", "string"),
+        ("ghost_table", "x", "string"),        # planted: table absent
+    ]
+    return schema_check(spark, tables, expected)
