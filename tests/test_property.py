@@ -99,3 +99,114 @@ def test_asof_join_matches_python_oracle(spark, left, right):
         cand = [(rt, v) for (rk, rt), v in rmap.items() if rk == k and rt <= t]
         want = max(cand)[1] if cand else None
         assert got[i] == want, (i, k, t, got[i], want)
+
+
+# --- connected components vs union-find -----------------------------------
+_cc_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda p: p[0] != p[1]),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=_cc_edges)
+def test_connected_components_matches_union_find(spark, edges):
+    from data_validator_guard_spark.operators.dedup import connected_components
+
+    n = 15
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)],
+        "id1 bigint, id2 bigint",
+    )
+    got = {r.id: r.cluster for r in connected_components(ids, pairs).collect()}
+    assert got == expected
+
+
+# --- hamming distance properties ------------------------------------------
+_bits = st.lists(st.sampled_from("01"), min_size=1, max_size=64).map("".join)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(a=_bits, b=_bits)
+def test_hamming_symmetric_and_matches_python(spark, a, b):
+    from pyspark.sql import functions as F
+
+    from data_validator_guard_spark.operators.dedup import hamming_distance
+
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    expected = sum(x != y for x, y in zip(a, b))
+    row = (
+        spark.range(1)
+        .select(
+            hamming_distance(F.lit(a), F.lit(b)).alias("ab"),
+            hamming_distance(F.lit(b), F.lit(a)).alias("ba"),
+        )
+        .collect()[0]
+    )
+    assert row.ab == row.ba == expected
+
+
+# --- composite rulebook vs row-wise simulation ----------------------------
+_rb_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["1", "2"]),
+        st.text(alphabet="pq", min_size=1, max_size=2),
+    ),
+    min_size=1,
+    max_size=30,
+)
+_rb_rules = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["1", "2"]),
+        st.sampled_from(["delete", "update", "merge", "add", "use", "skip"]),
+    ),
+    min_size=0,
+    max_size=6,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_rb_rows, rules=_rb_rules)
+def test_apply_rulebook_matches_rowwise_simulation(spark, rows, rules):
+    """Reference semantics simulated per row: delete on full-key match;
+    update/merge/add rewrite the primary key; use/skip leave it alone."""
+    from data_validator_guard_spark.operators.cleaning import apply_rulebook
+
+    rb_map = {(k, n): act for k, n, act in rules}
+    expected = Counter()
+    for k, n_, payload in rows:
+        act = rb_map.get((k, n_))
+        if act == "delete":
+            continue
+        new_key = f"{k}9" if act in ("update", "merge", "add") else k
+        expected[(new_key, n_, payload)] += 1
+
+    df = spark.createDataFrame(rows, "pid string, num string, payload string")
+    rb = spark.createDataFrame(
+        [(k, n_, f"{k}9" if act in ("update", "merge", "add") else None, act)
+         for k, n_, act in rules] or [("Z", "9", None, "skip")],
+        "pid string, num string, correct_value string, action string",
+    )
+    out = apply_rulebook(df, rb, key_col=("pid", "num"))
+    got = Counter((r.pid, r.num, r.payload) for r in out.collect())
+    assert got == expected
