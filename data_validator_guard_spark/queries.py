@@ -2530,3 +2530,144 @@ def q_schema_check_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ghost_table", "x", "string"),        # planted: table absent
     ]
     return schema_check(spark, tables, expected)
+
+
+# =====================================================================
+# 48. Remaining OLAP join/subquery shapes.
+# =====================================================================
+@query(
+    "top_balance_per_nation",
+    oracle="""
+WITH mx AS (
+  SELECT c_nationkey, MAX(c_acctbal) AS max_bal FROM customer GROUP BY c_nationkey
+)
+SELECT n.n_name, c.c_custkey, c.c_acctbal
+FROM customer c
+JOIN mx ON mx.c_nationkey = c.c_nationkey AND c.c_acctbal = mx.max_bal
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+""",
+)
+def q_top_balance_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax via aggregate + self-join (Q2 shape) — keeps ALL ties, unlike
+    the row_number top-k family; max of raw doubles passes through exactly."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    mx = c.groupBy(F.col("c_nationkey").alias("mx_nationkey")).agg(
+        F.max("c_acctbal").alias("max_bal")
+    )
+    return (
+        c.join(
+            F.broadcast(mx),
+            (c.c_nationkey == F.col("mx_nationkey")) & (c.c_acctbal == F.col("max_bal")),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", "c_acctbal")
+    )
+
+
+@query(
+    "rich_customers_no_orders",
+    oracle="""
+WITH tot AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_custkey, c.c_acctbal
+FROM customer c, tot
+WHERE CAST(c.c_acctbal AS DECIMAL(20,2)) * tot.n > tot.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+""",
+)
+def q_rich_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average balance and no recent (1998+) orders. The average is never
+    computed as a float: the predicate cross-multiplies (bal·n > Σbal) in
+    exact decimal, so the boundary set is identical in both engines."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    tot = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(20,2)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.col("c_acctbal").cast("decimal(20,2)") * F.col("n") > F.col("s"))
+        .join(
+            o.filter(
+                F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+            ).select("o_custkey"),
+            c.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@query(
+    "supplier_grouping_sets",
+    oracle="""
+SELECT COALESCE(n.n_name, '__all__') AS nation,
+       COALESCE(r.r_name, '__all__') AS region,
+       COUNT(*) AS n_suppliers
+FROM supplier s
+JOIN nation n0 ON n0.n_nationkey = s.s_nationkey
+JOIN region r0 ON r0.r_regionkey = n0.n_regionkey
+LEFT JOIN nation n ON n.n_nationkey = n0.n_nationkey
+LEFT JOIN region r ON r.r_regionkey = r0.r_regionkey
+GROUP BY GROUPING SETS ((n.n_name), (r.r_name), ())
+""",
+)
+def q_supplier_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (not rollup/cube): per-nation, per-region and grand
+    totals in one pass over the joined fact — via the SQL surface on temp
+    views (the engine exposes both DataFrame and SQL entry points)."""
+    read_table(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    read_table(spark, sf_dir, "region").createOrReplaceTempView("v_region")
+    return spark.sql("""
+        SELECT COALESCE(n_name, '__all__') AS nation,
+               COALESCE(r_name, '__all__') AS region,
+               COUNT(*) AS n_suppliers
+        FROM v_supplier s
+        JOIN v_nation n ON n.n_nationkey = s.s_nationkey
+        JOIN v_region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY GROUPING SETS ((n_name), (r_name), ())
+    """)
+
+
+@query(
+    "top_revenue_suppliers",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS r
+  FROM lineitem GROUP BY l_suppkey
+),
+mx AS (SELECT MAX(r) AS m FROM rev)
+SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS revenue
+FROM rev, mx
+JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.r = mx.m
+""",
+)
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) achieving the maximum revenue — the max and the
+    equality run on exact decimals (ties kept); only the emitted revenue is
+    cast to double."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+        ).alias("r")
+    )
+    mx = rev.agg(F.max("r").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("r").cast("double").alias("revenue"))
+    )
