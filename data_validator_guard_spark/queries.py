@@ -2671,3 +2671,78 @@ def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.col("r").cast("double").alias("revenue"))
     )
+
+
+# =====================================================================
+# 49. Embedding centroid accumulation (exact): per-bucket, per-dimension
+#     sums of integer-quantized components. posexplode → groupBy(bucket,
+#     dim) is the distributed shape (never array-aggregation on the driver);
+#     a caller divides sum/n for the float centroid. Integer sums make the
+#     oracle exact.
+# =====================================================================
+@query(
+    "embedding_centroids",
+    oracle="""
+SELECT vec_id % 4 AS bucket, d - 1 AS dim,  -- testdata embeddings are dim-64
+       CAST(SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q,
+       COUNT(*) AS n
+FROM embeddings, generate_series(1, 64) AS g(d)
+GROUP BY bucket, dim
+""",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    return (
+        emb.select((F.col("vec_id") % 4).alias("bucket"), F.posexplode(q).alias("dim", "qv"))
+        .groupBy("bucket", "dim")
+        .agg(F.sum("qv").alias("sum_q"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =====================================================================
+# 50. Time-gap detection: calendar days with ZERO events per event_type
+#     between that type's first and last day — completeness over time (the
+#     reference's visit-window family generalized). sequence+explode builds
+#     the per-type calendar distributed; observed days anti-join away.
+# =====================================================================
+@query(
+    "missing_event_days",
+    oracle="""
+WITH ev AS (
+  SELECT * FROM events WHERE day(ts) % 5 <> 0
+),
+span AS (
+  SELECT event_type, CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+  FROM ev GROUP BY event_type
+),
+cal AS (
+  SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+observed AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM ev)
+SELECT c.event_type, c.day
+FROM cal c
+WHERE NOT EXISTS (
+  SELECT 1 FROM observed o WHERE o.event_type = c.event_type AND o.day = c.day
+)
+""",
+)
+def q_missing_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drop every 5th day-of-month so the testdata (which is daily-dense)
+    # exercises a non-empty gap set in both engines
+    events = read_table(spark, sf_dir, "events").filter(
+        F.dayofmonth("ts") % 5 != 0
+    )
+    span = events.groupBy("event_type").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    cal = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+    )
+    observed = events.select("event_type", F.to_date("ts").alias("day")).distinct()
+    return cal.join(observed, ["event_type", "day"], "left_anti")
