@@ -356,7 +356,23 @@ def validate(
     # ---- totals scan: n_rows + table-level measures + row-rule violation
     # counters, all in ONE aggregation pass per partition. Catalyst prunes the
     # read to the partition expr + the union of rule-referenced columns.
-    compiled_rows = [(r, *_row_violation(r)) for r in row_rules]
+    def _guard(r: Rule, cond: Column) -> Column:
+        # Conditional rules: params["where"] (boolean SQL expr) restricts the
+        # check to matching rows — "if status='active' then email not null".
+        # The reference expresses this as hard-coded pre-filters (e.g. the
+        # clinician exclusion, auxiliar_functions.py:47-52); here it is a
+        # first-class guard fused into the same scan. Non-applicable rows
+        # (guard false or NULL) are never violations; n_rows stays the
+        # partition's total.
+        where = r.params.get("where")
+        if where is None:
+            return cond
+        return F.coalesce(F.expr(where), F.lit(False)) & cond
+
+    compiled_rows = []
+    for r in row_rules:
+        cond, detail = _row_violation(r)
+        compiled_rows.append((r, _guard(r, cond), detail))
     for r in fk_inline:
         dim: DataFrame = r.params["dim"]
         dim_col = list(r.params.get("dim_columns", r.columns))[0]
@@ -381,7 +397,7 @@ def validate(
             F.lit("unknown value in reference: "),
             F.coalesce(c.cast("string"), F.lit("NULL")),
         )
-        compiled_rows.append((r, cond, detail))
+        compiled_rows.append((r, _guard(r, cond), detail))
     row_rules = row_rules + fk_inline
 
     # When exactly one drift rule is present (the north-rule shape), the

@@ -2746,3 +2746,53 @@ def q_missing_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed = events.select("event_type", F.to_date("ts").alias("day")).distinct()
     return cal.join(observed, ["event_type", "day"], "left_anti")
+
+
+# =====================================================================
+# 51. Conditional rules (params["where"]): checks that apply only to a row
+#     subset, fused into the same totals scan. Verdict counters reproduce
+#     the guard semantics exactly (guard false/NULL -> never a violation;
+#     n_rows stays the partition total).
+# =====================================================================
+@query(
+    "verdicts_conditional",
+    oracle="""
+SELECT 'purchase_value_positive' AS rule_id, '__all__' AS "partition",
+       SUM(CASE WHEN event_type = 'purchase'
+                 AND NOT COALESCE(value > 0.0, FALSE) THEN 1 ELSE 0 END) = 0 AS pass,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                      AND NOT COALESCE(value > 0.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM events
+UNION ALL
+SELECT 'signup_has_props', '__all__',
+       SUM(CASE WHEN event_type = 'signup'
+                 AND (props IS NULL OR trim(props) = '') THEN 1 ELSE 0 END) = 0,
+       COUNT(*),
+       CAST(SUM(CASE WHEN event_type = 'signup'
+                      AND (props IS NULL OR trim(props) = '') THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+""",
+)
+def q_verdicts_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    suite = RuleSuite(
+        name="events_conditional",
+        rules=[
+            Rule(
+                "purchase_value_positive",
+                "cross_column",
+                (),
+                {"expr": "value > 0.0", "where": "event_type = 'purchase'"},
+            ),
+            Rule(
+                "signup_has_props",
+                "not_blank",
+                ("props",),
+                {"where": "event_type = 'signup'"},
+            ),
+        ],
+        key_cols=("event_id",),
+    )
+    verdicts, _ = validate(events, suite)
+    return verdicts

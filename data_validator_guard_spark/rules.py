@@ -47,6 +47,12 @@ cardinality_range   table-level: approx distinct count of column within
 drift               distribution drift vs a baseline histogram (PSI /
                     chi-square), the engine's one pandas UDF (§2.10)
 ==================  =========================================================
+
+Every ROW-level rule additionally accepts ``params["where"]`` — a boolean SQL
+expression restricting the check to matching rows ("if status='active' then
+email not null"). The guard fuses into the same scan; non-applicable rows are
+never violations. The reference expresses this with hard-coded pre-filters
+(the clinician exclusion, `auxiliar_functions.py:47-52`).
 """
 
 from __future__ import annotations

@@ -327,3 +327,29 @@ def test_is_blank_trailing_newline_is_not_blank(spark):
     )
     got = {r.id: r.b for r in df.select("id", is_blank("v").alias("b")).collect()}
     assert got == {1: True, 2: True, 3: False, 4: False, 5: False, 6: True}
+
+
+def test_conditional_rule_where_guard(spark):
+    """params['where'] restricts a row rule to matching rows; guard-false and
+    guard-NULL rows are never violations, n_rows stays the total."""
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    df = spark.createDataFrame(
+        [
+            (1, "active", None),      # guarded + violating
+            (2, "active", "e@x.io"),  # guarded + ok
+            (3, "inactive", None),    # guard false -> not a violation
+            (4, None, None),          # guard NULL -> not a violation
+        ],
+        "id bigint, status string, email string",
+    )
+    suite = RuleSuite(
+        "p",
+        [Rule("active_email", "not_null", ("email",), {"where": "status = 'active'"})],
+        key_cols=("id",),
+    )
+    verdicts, violations = validate(df, suite)
+    v = verdicts.collect()[0]
+    assert (v.n_rows, v.n_violations, v["pass"]) == (4, 1, False)
+    assert [r.keys for r in violations.collect()] == ["1"]
