@@ -2796,3 +2796,89 @@ def q_verdicts_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verdicts, _ = validate(events, suite)
     return verdicts
+
+
+# =====================================================================
+# 52. Exact z-score outliers: |x - mean| > 3*std decided entirely in
+#     integer/decimal arithmetic. With q = quantize(x), S = Σq, SS = Σq²,
+#     n rows:  |x−mean| > 3σ  ⇔  (n·q − S)² > 9·(n·SS − S²)  — no float
+#     mean/std ever computed, so the boundary set is engine-identical.
+# =====================================================================
+@query(
+    "value_outliers",
+    oracle="""
+WITH q AS (
+  SELECT event_id, event_type, value,
+         CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(qv) AS HUGEINT) AS s,
+         CAST(SUM(CAST(qv AS HUGEINT) * CAST(qv AS HUGEINT)) AS HUGEINT) AS ss,
+         CAST(COUNT(*) AS HUGEINT) AS n
+  FROM q GROUP BY event_type
+)
+SELECT q.event_id, q.event_type, q.value
+FROM q JOIN stats t ON t.event_type = q.event_type
+WHERE t.n >= 3
+  AND (t.n * q.qv - t.s) * (t.n * q.qv - t.s) > 9 * (t.n * t.ss - t.s * t.s)
+""",
+)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    qv = F.floor(F.col("value").cast("double") * 1000 + F.lit(0.5)).cast("long")
+    q = events.filter(F.col("value").isNotNull()).select(
+        "event_id", "event_type", "value", qv.alias("qv")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = q.groupBy(F.col("event_type").alias("st_type")).agg(
+        d(F.sum("qv")).alias("s"),
+        F.sum(d(F.col("qv")) * d(F.col("qv"))).alias("ss"),
+        d(F.count(F.lit(1))).alias("n"),
+    )
+    j = q.join(F.broadcast(stats), q.event_type == F.col("st_type"))
+    lhs_root = F.col("n") * d(F.col("qv")) - F.col("s")
+    return (
+        j.filter(
+            (F.col("n") >= 3)
+            & (lhs_root * lhs_root > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")))
+        )
+        .select("event_id", "event_type", "value")
+    )
+
+
+# =====================================================================
+# 53. Dedup survivorship: materialize the deduplicated corpus (keep the
+#     min-id row per normalized fingerprint) with byte-identity sha256 —
+#     the operator pipelines actually run after duplicate DETECTION.
+# =====================================================================
+@query(
+    "dedup_apply",
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+),
+fp AS (
+  SELECT doc_id, text,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM docs
+),
+keep AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f)
+SELECT p.doc_id, sha256(p.text) AS text_sha
+FROM fp p JOIN keep k ON k.f = p.f AND k.keep_id = p.doc_id
+""",
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.dedup import exact_duplicates
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.unionByName(docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    keep = exact_duplicates(dup, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return dup.join(keep, "doc_id", "left_semi").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text_sha")
+    )
