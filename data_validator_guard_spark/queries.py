@@ -9,7 +9,17 @@ Determinism rules applied throughout:
 - aggregate sums of doubles go through a per-addend DECIMAL cast (exact,
   order-independent accumulation) — never raw double SUM;
 - ratios appear as integer numerator/denominator pairs or single IEEE ops;
-- ranking queries emit ranks with explicit total tiebreaks, not raw floats.
+- ranking queries emit ranks with explicit total tiebreaks, not raw floats;
+- threshold decisions (cosine/z-score/averages) are cross-multiplied into
+  exact integer/decimal comparisons so no float ever decides a boundary.
+
+Output-type discipline (driver hash parity — see README): final columns are
+only BIGINT (oracles CAST every integer SUM — DuckDB otherwise widens to
+HUGEINT), bit-identical DOUBLE (exact accumulation + ONE final cast, or a
+single IEEE op, or round(x, 6) on both sides), VARCHAR, BOOLEAN, or
+DATE/TIMESTAMP. Never DECIMAL: the driver reads DuckDB decimals as float64
+and Spark decimals as Decimal objects, which hash differently even when
+equal. ``tools/check_oracle.py`` enforces this with a type gate.
 """
 
 from __future__ import annotations
