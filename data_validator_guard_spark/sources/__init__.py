@@ -232,3 +232,25 @@ def read_excel(
 
     out_schema = ", ".join(f"`{c}` string" for c in columns)
     return files.select("content").mapInPandas(parse, out_schema)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed (and optionally sorted) managed-table sink — the co-located
+    join primitive: two tables bucketed on the same key with the same bucket
+    count join WITHOUT a shuffle (each bucket pair joins locally), and
+    repeated joins/aggregations on the bucket key skip their exchange
+    forever after. This is the batch analog of Iceberg's bucket partition
+    transform; at 10^12 rows, pre-bucketing the fact table by repo-hash is
+    what makes every later per-repo join/agg a map-side operation.
+    `tests/test_plans.py` asserts the shuffle-free join plan.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -163,3 +163,40 @@ def test_topk_compiles_to_take_ordered_not_global_window(spark):
     assert s.index("TakeOrderedAndProject") > s.index("Window"), (
         "Window must consume the k-row TakeOrderedAndProject output"
     )
+
+
+def test_bucketed_tables_join_without_shuffle(spark, docs, tmp_path):
+    """Two tables bucketed on the same key and count must sort-merge join
+    with NO shuffle exchange — the co-located join the engine relies on for
+    repeated per-repo work at scale."""
+    from data_validator_guard_spark.sources import write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdb LOCATION '{tmp_path}/buckdb'")
+    try:
+        left = docs.select("doc_id", "lang")
+        right = docs.select("doc_id", "n_chars")
+        write_bucketed(left, "buckdb.t_left", ["doc_id"], 8)
+        write_bucketed(right, "buckdb.t_right", ["doc_id"], 8)
+        joined = spark.table("buckdb.t_left").join(
+            spark.table("buckdb.t_right"), "doc_id"
+        )
+        s = plans.plan_string(joined)
+        assert "Exchange hashpartitioning" not in s, s
+        # and the same-key aggregation is shuffle-free too
+        agg = spark.table("buckdb.t_left").groupBy("doc_id").count()
+        assert "Exchange hashpartitioning" not in plans.plan_string(agg)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
+
+
+def test_approx_percentile_within_error_of_exact(spark, docs):
+    """The 10^12-row percentile path is approx_percentile (single-pass
+    sketch, no global sort); pin its accuracy against the exact value so the
+    scale substitution is a measured trade, not a hope."""
+    from pyspark.sql import functions as F
+
+    row = docs.agg(
+        F.percentile_approx("n_chars", 0.5, 1000).alias("approx"),
+        F.expr("percentile(n_chars, 0.5)").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / max(row.exact, 1.0) < 0.05
