@@ -112,3 +112,56 @@ def test_running_verdicts_stateful(spark, tmp_path):
     got2 = run_once()
     assert got2["a"] == (3, 1, False)
     assert got2["b"] == (3, 1, False)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Event-time watermark contract: in append mode a window only emits once
+    the watermark passes its end, and rows arriving later than the watermark
+    are dropped from state — the bounded-state guarantee that keeps the
+    streaming aggregation viable on an unbounded source."""
+    inp = str(tmp_path / "win")
+    ck = str(tmp_path / "ck")
+    schema = "ts timestamp, event_type string"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(inp)
+
+    import datetime as dt
+
+    d = lambda day, h=0: dt.datetime(2026, 1, day, h)  # noqa: E731
+
+    outp = str(tmp_path / "wm_out")
+
+    def run_drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(inp)
+            .transform(
+                lambda df: windowed_event_counts(df, ts_col="ts", key_col="event_type")
+            )
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: days 1-4; max event time = day 4 -> watermark day 2 (2-day lag)
+    write([(d(1), "click"), (d(1, 6), "click"), (d(2), "view"), (d(4), "click")])
+    run_drain()
+    # batch 2: one LATE row for day 1 (far behind the day-2 watermark) plus a
+    # fresh day-7 row that advances the watermark past day 4's window.
+    write([(d(1, 12), "click"), (d(7), "view")])
+    run_drain()
+
+    got = {
+        (r.event_type, str(r.day)): r.n
+        for r in spark.read.parquet(outp).collect()
+    }
+    # day 1 emitted with the ON-TIME count only (2 clicks); the late third
+    # click was dropped, not merged and not re-emitted
+    assert got[("click", "2026-01-01")] == 2
+    # day 4's window closed once the watermark advanced past it
+    assert got[("click", "2026-01-04")] == 1
