@@ -481,10 +481,11 @@ def embedding_near_duplicates(
     )
     # Overflow guard: with |a|², |b|² < 3e16, Cauchy-Schwarz bounds
     # |dot| < 3e16, so dot²·10⁴ < 9e36 and t²·|a|²·|b|² < 9e36 — both inside
-    # decimal(38,0). Larger dim·(scale·|x|max)² inputs FAIL LOUDLY here
-    # instead of overflowing the decimal to NULL and silently dropping pairs
-    # (the DuckDB HUGEINT oracle would keep them — a data-dependent engine/
-    # oracle divergence).
+    # decimal(38,0). Larger dim·(scale·|x|max)² inputs FAIL LOUDLY here with
+    # an actionable message (under the engine's pinned ANSI mode a raw
+    # overflow would also error, but cryptically mid-join; under legacy
+    # non-ANSI it would null out and silently drop pairs while the DuckDB
+    # HUGEINT oracle kept them — a data-dependent engine/oracle divergence).
     _N2_BOUND = 3 * 10**16
     n2 = _int_dot(F.col("__q"), F.col("__q"))
     # assert_true is woven INTO the used __n2 expression (an unreferenced

@@ -24,6 +24,12 @@ DEFAULT_CONFS: dict[str, str] = {
     # intentionally broadcastable (SURVEY.md §2.3: "every join ... is a
     # broadcast join except the uniqueness self-check").
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # ANSI on (the Spark 4 default, pinned explicitly): a VALIDATION engine
+    # must fail loudly on overflow / invalid casts in its own arithmetic,
+    # never silently null them into wrong verdicts. Every oracle-facing cast
+    # in this repo is null-safe by construction under ANSI (string-widening
+    # casts, guarded numeric casts, bounded decimal arithmetic).
+    "spark.sql.ansi.enabled": "true",
     # Local harness default; a real cluster sets this per input size.
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.session.timeZone": "UTC",
