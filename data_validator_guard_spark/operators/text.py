@@ -190,3 +190,48 @@ def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         *[counts[k].alias(f"n_{k}") for k in PII_PATTERNS],
         has.alias("has_pii"),
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: ``id, n_tokens,
+    n_distinct_tokens, dup_token_frac, top_token_frac``.
+
+    dup_token_frac = 1 − distinct/total (expression-level); top_token_frac =
+    most-frequent-token count / total (explode + per-(doc, token) count + max
+    — distributed, two hash aggregations, no UDF). High values flag
+    boilerplate/spam documents that length or stopword filters miss.
+    """
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        words.alias("__w"),
+    )
+    top = (
+        base.select("id", F.explode("__w").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("__top"))
+    )
+    return (
+        base.drop("__w")
+        .join(top, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            "n_distinct_tokens",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct_tokens").cast("double")
+                / F.when(F.col("n_tokens") > 0, F.col("n_tokens").cast("double"))
+            ).alias("dup_token_frac"),
+            (
+                F.coalesce(F.col("__top"), F.lit(0)).cast("double")
+                / F.when(F.col("n_tokens") > 0, F.col("n_tokens").cast("double"))
+            ).alias("top_token_frac"),
+        )
+    )

@@ -2892,3 +2892,143 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup.join(keep, "doc_id", "left_semi").select(
         "doc_id", F.sha2(F.col("text"), 256).alias("text_sha")
     )
+
+
+# =====================================================================
+# 54. Intra-document repetition signals (Gopher-style quality filters).
+# =====================================================================
+@query(
+    "repetition_signals",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens
+  FROM documents
+),
+top AS (
+  SELECT doc_id, MAX(c) AS topc FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT w.doc_id AS id, w.n_tokens, w.n_distinct_tokens,
+       1.0 - CAST(w.n_distinct_tokens AS DOUBLE)
+             / (CASE WHEN w.n_tokens > 0 THEN CAST(w.n_tokens AS DOUBLE) END) AS dup_token_frac,
+       CAST(COALESCE(top.topc, 0) AS DOUBLE)
+       / (CASE WHEN w.n_tokens > 0 THEN CAST(w.n_tokens AS DOUBLE) END) AS top_token_frac
+FROM w LEFT JOIN top ON top.doc_id = w.doc_id
+""",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import repetition_signals
+
+    return repetition_signals(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# =====================================================================
+# 55. Train/eval contamination (decontamination pass): eval = the 'test'
+#     hash split PLUS three planted verbatim copies of train docs — both
+#     the exact and the n-gram detectors must find the plants.
+# =====================================================================
+_CONTAM_CTE = f"""
+WITH b AS (
+  SELECT doc_id, text, {_SPLIT_BUCKET_SQL} AS bucket FROM documents
+),
+train AS (SELECT doc_id, text FROM b WHERE bucket < 80),
+eval_docs AS (
+  SELECT doc_id, text FROM b WHERE bucket >= 90
+  UNION ALL
+  SELECT doc_id + 200000, text FROM train WHERE doc_id % 97 = 0
+)
+"""
+
+
+def _spark_contam_frames(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    b = docs.withColumn("bucket", bucket)
+    train = b.filter(F.col("bucket") < 80).select("doc_id", "text")
+    eval_docs = (
+        b.filter(F.col("bucket") >= 90)
+        .select("doc_id", "text")
+        .unionByName(
+            train.filter(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return train, eval_docs
+
+
+@query(
+    "split_contamination_exact",
+    oracle=_CONTAM_CTE
+    + r"""
+, tfp AS (
+  SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM train
+),
+tc AS (SELECT fp, COUNT(*) AS n_train_copies FROM tfp GROUP BY fp)
+SELECT e.doc_id AS id,
+       md5(lower(regexp_replace(trim(e.text), '\s+', ' ', 'g'))) AS fp,
+       tc.n_train_copies
+FROM eval_docs e
+JOIN tc ON tc.fp = md5(lower(regexp_replace(trim(e.text), '\s+', ' ', 'g')))
+""",
+)
+def q_split_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.contamination import exact_contamination
+
+    train, eval_docs = _spark_contam_frames(spark, sf_dir)
+    return exact_contamination(train, eval_docs, "text", "doc_id")
+
+
+@query(
+    "split_contamination_ngram",
+    oracle=_CONTAM_CTE
+    + r"""
+, tsh AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, greatest(len(w) - 7, 0)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+                  || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS shingle
+    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM train)
+  )
+),
+esh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(w) - 7, 0)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+                  || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM eval_docs)
+  )
+),
+sizes AS (SELECT id, COUNT(*) AS n_ngrams FROM esh GROUP BY id),
+shared AS (
+  SELECT e.id, COUNT(*) AS n_shared
+  FROM esh e JOIN tsh t ON t.shingle = e.shingle
+  GROUP BY e.id
+)
+SELECT s.id,
+       CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+       s.n_ngrams,
+       CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / CAST(s.n_ngrams AS DOUBLE) AS overlap_frac
+FROM sizes s LEFT JOIN shared sh ON sh.id = s.id
+WHERE COALESCE(sh.n_shared, 0) >= 1
+""",
+)
+def q_split_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.contamination import ngram_contamination
+
+    train, eval_docs = _spark_contam_frames(spark, sf_dir)
+    return ngram_contamination(train, eval_docs, "text", "doc_id", n=8)

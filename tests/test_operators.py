@@ -502,3 +502,29 @@ def test_connected_components_chain_and_isolates(spark):
     )
     got = {r.id: r.cluster for r in connected_components(ids, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_contamination_detects_planted_leak(spark):
+    """A test doc copied verbatim from train must be flagged by both
+    detectors; a disjoint-vocabulary doc by neither."""
+    from data_validator_guard_spark.operators.contamination import (
+        exact_contamination,
+        ngram_contamination,
+    )
+
+    leaked = "the quick brown fox jumps over the lazy dog near the river bank " * 2
+    train = spark.createDataFrame(
+        [(1, leaked), (2, "alpha beta gamma delta epsilon zeta eta theta " * 3)],
+        "doc_id bigint, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(10, leaked), (11, "zebra quokka lemur wombat axolotl capuchin gibbon parrot")],
+        "doc_id bigint, text string",
+    )
+    ex = {r.id for r in exact_contamination(train, eval_df, "text", "doc_id").collect()}
+    assert ex == {10}
+    ng = {
+        r.id: r.overlap_frac
+        for r in ngram_contamination(train, eval_df, "text", "doc_id", n=8).collect()
+    }
+    assert set(ng) == {10} and ng[10] == 1.0
