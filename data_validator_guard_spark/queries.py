@@ -3032,3 +3032,76 @@ def q_split_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train, eval_docs = _spark_contam_frames(spark, sf_dir)
     return ngram_contamination(train, eval_docs, "text", "doc_id", n=8)
+
+
+# =====================================================================
+# 56. Composed quality-filter pipeline (Dolma/Gopher-style): one pass that
+#     combines length, stopword, repetition and PII signals into keep/drop
+#     with machine-readable reasons — the decision layer on top of the
+#     individual signal operators, still entirely expression-level.
+# =====================================================================
+@query(
+    "quality_filter_pipeline",
+    oracle=r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+         len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS n_stop,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         n_chars < 64 AS too_short,
+         n_chars > 100000 AS too_long,
+         n_tokens > 0 AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.01 AS low_stopword,
+         n_tokens > 0 AND 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.6 AS too_repetitive,
+         n_email > 0 AS has_pii
+  FROM f
+)
+SELECT doc_id,
+       NOT (too_short OR too_long OR low_stopword OR too_repetitive OR has_pii) AS keep,
+       concat_ws(',',
+         CASE WHEN too_short THEN 'too_short' END,
+         CASE WHEN too_long THEN 'too_long' END,
+         CASE WHEN low_stopword THEN 'low_stopword' END,
+         CASE WHEN too_repetitive THEN 'too_repetitive' END,
+         CASE WHEN has_pii THEN 'has_pii' END) AS reasons
+FROM r
+""",
+)
+def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    tr = F.trim(t)
+    n_chars = F.length(t)
+    n_tokens = F.when(F.length(tr) == 0, F.lit(0)).otherwise(F.size(F.split(tr, r"\s+")))
+    n_distinct = F.size(F.array_distinct(F.split(tr, r"\s+")))
+    n_stop = F.regexp_count(t, F.lit(r"\b(the|a|of|and|to|in)\b"))
+    n_email = F.regexp_count(t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"))
+    too_short = n_chars < 64
+    too_long = n_chars > 100000
+    low_stop = (n_tokens > 0) & (
+        n_stop.cast("double") / n_tokens.cast("double") < 0.01
+    )
+    too_rep = (n_tokens > 0) & (
+        F.lit(1.0) - n_distinct.cast("double") / n_tokens.cast("double") > 0.6
+    )
+    has_pii = n_email > 0
+    flags = [
+        (too_short, "too_short"),
+        (too_long, "too_long"),
+        (low_stop, "low_stopword"),
+        (too_rep, "too_repetitive"),
+        (has_pii, "has_pii"),
+    ]
+    return docs.select(
+        "doc_id",
+        (~(too_short | too_long | low_stop | too_rep | has_pii)).alias("keep"),
+        F.concat_ws(
+            ",", *[F.when(c, F.lit(name)) for c, name in flags]
+        ).alias("reasons"),
+    )
