@@ -284,6 +284,50 @@ def _foreign_key_violations(df: DataFrame, rule: Rule, part: Column, keys: Colum
     )
 
 
+def _join_consistency_violations(
+    df: DataFrame, rule: Rule, part: Column, keys: Column
+) -> DataFrame:
+    """Cross-table agreement (rule 13, `maganamed_validation.py:255-269`):
+    left rows joined to ``params["other"]`` on ``params["on"]`` must satisfy
+    ``params["expr"]`` (a boolean SQL expr over the joined row; the other
+    table's columns are exposed under their own names).
+
+    Join strategy: broadcast when ``params["broadcast"]`` (default True —
+    rule-13 "other" tables are code→name dims); pass False for fact-to-fact
+    consistency, which then shuffles on the join keys like any equi-join.
+    With ``require_match=True`` (default) left rows with NO match are
+    violations too (agreement cannot be established) — matching the
+    reference, which reports missing join partners.
+    """
+    p = rule.params
+    other: DataFrame = p["other"]
+    on = list(p["on"])
+    holds = F.expr(p["expr"])
+    require_match = bool(p.get("require_match", True))
+    right = F.broadcast(other) if p.get("broadcast", True) else other
+    sel = df.select(
+        part.alias("partition"), keys.alias("keys"), *[F.col(c) for c in df.columns]
+    )
+    # marker column survives the outer join iff the right side matched
+    right = right.withColumn("__matched", F.lit(True))
+    joined = sel.join(right, on, "left")
+    bad_expr = ~F.coalesce(holds, F.lit(False))
+    if require_match:
+        cond = F.when(F.col("__matched").isNull(), F.lit(True)).otherwise(bad_expr)
+    else:
+        cond = F.col("__matched").isNotNull() & bad_expr
+    detail = F.when(
+        F.col("__matched").isNull(), F.lit(f"no match in {p.get('other_name', 'other')}")
+    ).otherwise(F.lit(f"violated: {p['expr']}"))
+    return joined.filter(cond).select(
+        F.lit(rule.rule_id).alias("rule_id"),
+        F.col("partition"),
+        F.col("keys"),
+        detail.alias("detail"),
+        F.lit(1).cast("bigint").alias("weight"),
+    )
+
+
 def _group_consistency_violations(df: DataFrame, rule: Rule, part: Column) -> DataFrame:
     """Within-group single-value check (rule 11, `maganamed_validation.py:216-248`)."""
     group_col = rule.params["group_by"]
@@ -351,6 +395,7 @@ def validate(
     fk_inline = [r for r in all_fk if r.params.get("inline") and len(r.columns) == 1]
     fk_rules = [r for r in all_fk if r not in fk_inline]
     gc_rules = [r for r in suite.rules if r.type == "group_consistency"]
+    jc_rules = [r for r in suite.rules if r.type == "join_consistency"]
     drift_rules = [r for r in suite.rules if r.type == "drift"]
 
     # ---- totals scan: n_rows + table-level measures + row-rule violation
@@ -519,6 +564,8 @@ def validate(
         fragments.append(_foreign_key_violations(df, r, part, keys))
     for r in gc_rules:
         fragments.append(_group_consistency_violations(df, r, part))
+    for r in jc_rules:
+        fragments.append(_join_consistency_violations(df, r, part, keys))
     for r in drift_rules:
         from data_validator_guard_spark.operators.drift import drift_violations
 
@@ -545,7 +592,7 @@ def validate(
     # included — once per rule; measured 8 scans for an 8-rule suite.)
     # Plan-level rules ride the same explode with NULL placeholders and take
     # their counts from a broadcast left join against the fragment sums.
-    counted_rules = unique_rules + fk_rules + gc_rules + drift_rules
+    counted_rules = unique_rules + fk_rules + gc_rules + jc_rules + drift_rules
     entries: list[Column] = []
     for r in agg_rules:
         entries.append(

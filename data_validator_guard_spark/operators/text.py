@@ -235,3 +235,33 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ).alias("top_token_frac"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 512,
+    stride: int = 384,
+) -> DataFrame:
+    """Overlapping training chunks: ``id, chunk_idx, chunk_text`` — windows
+    of ``chunk_size`` chars every ``stride`` chars (overlap = size − stride),
+    the 1→N reshaping step before tokenization. Pure expressions
+    (sequence + explode + substring): one scan, rows fan out ~len/stride×,
+    no Python. Every document yields at least one chunk (short docs emit
+    themselves)."""
+    n = F.length(F.col(text_col))
+    n_extra = F.floor(
+        (F.greatest(n - chunk_size, F.lit(0)) + (stride - 1)) / stride
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_extra))
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"), idx.alias("chunk_idx"))
+        .select(
+            "id",
+            "chunk_idx",
+            F.substring(F.col("__t"), F.col("chunk_idx") * stride + 1, chunk_size).alias(
+                "chunk_text"
+            ),
+        )
+    )

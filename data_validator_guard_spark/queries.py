@@ -3105,3 +3105,85 @@ def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", *[F.when(c, F.lit(name)) for c, name in flags]
         ).alias("reasons"),
     )
+
+
+# =====================================================================
+# 57. join_consistency rule (rule 13, maganamed_validation.py:255-269):
+#     cross-table agreement as a first-class plan-level rule. The dim
+#     deliberately omits src15..src19 so the no-match path is exercised.
+# =====================================================================
+@query(
+    "verdicts_join_consistency",
+    oracle="""
+WITH dim AS (
+  SELECT 'src' || CAST(i AS VARCHAR) AS source,
+         CASE WHEN i % 2 = 0 THEN 'en' ELSE 'de' END AS expected_lang
+  FROM (SELECT unnest(generate_series(0, 14)) AS i)
+),
+v AS (
+  SELECT CASE WHEN d.source IS NULL THEN 1
+              WHEN NOT COALESCE(doc.lang = d.expected_lang, FALSE) THEN 1
+              ELSE 0 END AS viol
+  FROM documents doc LEFT JOIN dim d ON d.source = doc.source
+)
+SELECT 'lang_agrees_dim' AS rule_id, '__all__' AS "partition",
+       SUM(viol) = 0 AS pass,
+       COUNT(*) AS n_rows,
+       CAST(SUM(viol) AS BIGINT) AS n_violations
+FROM v
+""",
+)
+def q_verdicts_join_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(
+        [(f"src{i}", "en" if i % 2 == 0 else "de") for i in range(15)],
+        "source string, expected_lang string",
+    )
+    suite = RuleSuite(
+        "documents_jc",
+        [
+            Rule(
+                "lang_agrees_dim",
+                "join_consistency",
+                ("lang",),
+                {
+                    "other": dim,
+                    "on": ["source"],
+                    "expr": "lang = expected_lang",
+                    "other_name": "lang_dim",
+                },
+            )
+        ],
+        key_cols=("doc_id",),
+    )
+    verdicts, _ = validate(docs, suite)
+    return verdicts
+
+
+# =====================================================================
+# 58. Document chunking (training prep): overlapping 512-char windows with
+#     stride 384 — the 1→N reshaping before tokenization, sha-verified.
+# =====================================================================
+@query(
+    "chunk_documents",
+    oracle="""
+SELECT doc_id AS id, CAST(i AS INT) AS chunk_idx,
+       sha256(substr(text, CAST(i AS INT) * 384 + 1, 512)) AS chunk_sha,
+       length(substr(text, CAST(i AS INT) * 384 + 1, 512)) AS chunk_len
+FROM documents,
+     (SELECT unnest(generate_series(0, 63)) AS i) g  -- fixed series (docs < 24k chars); filtered per doc below
+WHERE i <= floor((greatest(length(text) - 512, 0) + 383) / 384)
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", 512, 384
+    )
+    return chunks.select(
+        "id",
+        "chunk_idx",
+        F.sha2(F.col("chunk_text"), 256).alias("chunk_sha"),
+        F.length("chunk_text").alias("chunk_len"),
+    )

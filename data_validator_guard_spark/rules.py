@@ -40,6 +40,11 @@ foreign_key         ``columns`` tuples must exist in ``params["dim"]``
                     (general_validation.py:94-108, J4) — broadcast anti-join
 group_consistency   within each ``params["group_by"]`` group the column has
                     exactly one distinct non-null value (rule 11, A8)
+join_consistency    rows joined against ``params["other"]`` on
+                    ``params["on"]`` must satisfy ``params["expr"]`` (rule
+                    13's joined-table code↔name agreement,
+                    maganamed_validation.py:255-269); unmatched left rows
+                    optionally violate via ``params["require_match"]``
 null_rate_max       table-level: fraction of blanks <= ``params["max_rate"]``
 min_rows            table-level: partition must contain >= ``params["n"]`` rows
 cardinality_range   table-level: approx distinct count of column within
@@ -77,7 +82,14 @@ ROW_LEVEL_TYPES = frozenset(
 )
 AGG_LEVEL_TYPES = frozenset({"null_rate_max", "min_rows", "cardinality_range"})
 PLAN_LEVEL_TYPES = frozenset(
-    {"unique", "unique_normalized", "foreign_key", "group_consistency", "drift"}
+    {
+        "unique",
+        "unique_normalized",
+        "foreign_key",
+        "group_consistency",
+        "join_consistency",
+        "drift",
+    }
 )
 ALL_TYPES = ROW_LEVEL_TYPES | AGG_LEVEL_TYPES | PLAN_LEVEL_TYPES
 

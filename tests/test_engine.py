@@ -353,3 +353,44 @@ def test_conditional_rule_where_guard(spark):
     v = verdicts.collect()[0]
     assert (v.n_rows, v.n_violations, v["pass"]) == (4, 1, False)
     assert [r.keys for r in violations.collect()] == ["1"]
+
+
+def test_join_consistency_rule(spark):
+    """Rule 13: joined-table agreement. Mismatch and no-match both violate
+    (require_match default); require_match=False skips unmatched rows."""
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    df = spark.createDataFrame(
+        [(1, "s1", "en"), (2, "s1", "de"), (3, "s9", "en")],
+        "id bigint, code string, lang string",
+    )
+    dim = spark.createDataFrame([("s1", "en")], "code string, want string")
+
+    def mk(require_match):
+        return RuleSuite(
+            "p",
+            [
+                Rule(
+                    "agree",
+                    "join_consistency",
+                    ("lang",),
+                    {
+                        "other": dim,
+                        "on": ["code"],
+                        "expr": "lang = want",
+                        "require_match": require_match,
+                    },
+                )
+            ],
+            key_cols=("id",),
+        )
+
+    v, x = validate(df, mk(True))
+    r = v.collect()[0]
+    assert (r.n_violations, r["pass"]) == (2, False)  # id 2 mismatch, id 3 no match
+    details = {row.keys: row.detail for row in x.collect()}
+    assert "no match" in details["3"] and "violated" in details["2"]
+
+    v2, _ = validate(df, mk(False))
+    assert v2.collect()[0].n_violations == 1  # unmatched row 3 skipped
