@@ -3187,3 +3187,30 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("chunk_text"), 256).alias("chunk_sha"),
         F.length("chunk_text").alias("chunk_len"),
     )
+
+
+# =====================================================================
+# 59. Corpus vocabulary top-k (vocab building): exact term frequencies,
+#     distributed TakeOrderedAndProject (never a global window).
+# =====================================================================
+@query(
+    "top_tokens",
+    oracle=r"""
+SELECT tok, n, rank FROM (
+  SELECT tok, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rank
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+  GROUP BY tok
+) WHERE rank <= 20
+""",
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import heavy_hitters
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", k=20).select(
+        F.col("value").alias("tok"), "n", "rank"
+    )
