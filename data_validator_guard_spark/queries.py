@@ -3214,3 +3214,113 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "tok", k=20).select(
         F.col("value").alias("tok"), "n", "rank"
     )
+
+
+# =====================================================================
+# 60. Composed analytics over the pipeline signals.
+# =====================================================================
+@query(
+    "lang_confusion",
+    oracle=r"""
+WITH c AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '\bthe\b')) AS c_en,
+         len(regexp_extract_all(text, '\btable\b')) AS c_fr,
+         len(regexp_extract_all(text, '\bdata\b')) AS c_de,
+         len(regexp_extract_all(text, '\brow\b')) AS c_es
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN c_en >= greatest(c_fr, c_de, c_es) THEN 'en'
+            WHEN c_fr >= greatest(c_de, c_es) THEN 'fr'
+            WHEN c_de >= c_es THEN 'de'
+            ELSE 'es' END AS pred_lang,
+       COUNT(*) AS n
+FROM c GROUP BY lang, pred_lang
+""",
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-vs-label confusion counts — the eval harness for the
+    language-ID operator (model-quality measurement as a query)."""
+    from data_validator_guard_spark.operators.text import language_id
+
+    docs = read_table(spark, sf_dir, "documents")
+    pred = language_id(docs, "text", "doc_id").select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "signup_click_purchase_funnel",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  COUNT(*) AS n_users,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                 AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after
+FROM firsts
+""",
+)
+def q_signup_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (signup -> first click after it -> first purchase
+    after that) via one conditional-min aggregation — no self-joins, no
+    window over raw events; the per-user firsts reduce in a single shuffle."""
+    events = read_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(signed.cast("bigint")).alias("n_signed_up"),
+        F.sum(clicked.cast("bigint")).alias("n_clicked_after"),
+        F.sum(purchased.cast("bigint")).alias("n_purchased_after"),
+    )
+
+
+@query(
+    "orders_yearly_growth",
+    oracle="""
+WITH y AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS rev,
+         COUNT(*) AS n
+  FROM orders GROUP BY yr
+)
+SELECT yr, CAST(rev AS DOUBLE) AS revenue, n,
+       CAST(rev - lag(rev) OVER (ORDER BY yr) AS DOUBLE) AS revenue_delta
+FROM y
+""",
+)
+def q_orders_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year deltas: lag over the (tiny) yearly aggregate — the
+    window runs on |years| rows, never on the fact table; subtraction stays
+    exact decimal with one final double cast."""
+    o = read_table(spark, sf_dir, "orders")
+    y = o.groupBy(F.year("o_orderdate").cast("bigint").alias("yr")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("yr")
+    return y.select(
+        "yr",
+        F.col("rev").cast("double").alias("revenue"),
+        "n",
+        (F.col("rev") - F.lag("rev").over(w)).cast("double").alias("revenue_delta"),
+    )
