@@ -3324,3 +3324,80 @@ def q_orders_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("rev") - F.lag("rev").over(w)).cast("double").alias("revenue_delta"),
     )
+
+
+# =====================================================================
+# 61. Temporal-range rule (min_max over TIMESTAMP — the visit-window /
+#     sane-date check family): bounds inside the data range plant real
+#     violations on both ends.
+# =====================================================================
+@query(
+    "verdicts_ts_range",
+    oracle="""
+SELECT 'ts_in_window' AS rule_id, '__all__' AS "partition",
+       SUM(CASE WHEN ts IS NULL OR ts < TIMESTAMP '2024-01-05 00:00:00'
+                  OR ts > TIMESTAMP '2024-01-25 00:00:00' THEN 1 ELSE 0 END) = 0 AS pass,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN ts IS NULL OR ts < TIMESTAMP '2024-01-05 00:00:00'
+                       OR ts > TIMESTAMP '2024-01-25 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM events
+""",
+)
+def q_verdicts_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    events = read_table(spark, sf_dir, "events")
+    suite = RuleSuite(
+        "events_ts",
+        [
+            Rule(
+                "ts_in_window",
+                "min_max",
+                ("ts",),
+                {"lo": _dt.datetime(2024, 1, 5), "hi": _dt.datetime(2024, 1, 25)},
+            )
+        ],
+        key_cols=("event_id",),
+    )
+    verdicts, _ = validate(events, suite)
+    return verdicts
+
+
+# =====================================================================
+# 62. Dedup reporting: duplicate-cluster size distribution (how much of the
+#     corpus collapses, and into how large groups) — the summary a dedup
+#     run reports before materializing survivors.
+# =====================================================================
+@query(
+    "dedup_cluster_sizes",
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+),
+fp AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM docs
+),
+cl AS (SELECT f, COUNT(*) AS sz FROM fp GROUP BY f)
+SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+FROM cl GROUP BY sz
+""",
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.dedup import exact_duplicates
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.unionByName(docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    clusters = exact_duplicates(dup, "text", "doc_id")
+    return (
+        clusters.groupBy(F.col("n_copies").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+    )
