@@ -3401,3 +3401,43 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
         )
     )
+
+
+# =====================================================================
+# 63. Time-of-day profile + standalone fixed-bucket histogram (the drift
+#     module's histogram as a first-class reporting query).
+# =====================================================================
+@query(
+    "events_hourly_profile",
+    oracle="""
+SELECT event_type, CAST(hour(ts) AS INT) AS hour, COUNT(*) AS n
+FROM events GROUP BY event_type, hour
+""",
+)
+def q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type", F.hour("ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+SELECT lang AS grp,
+       CAST(CASE WHEN n_chars < 0.0 THEN -1
+                 WHEN n_chars < 128.0 THEN 0
+                 WHEN n_chars < 192.0 THEN 1
+                 WHEN n_chars < 256.0 THEN 2
+                 WHEN n_chars < 384.0 THEN 3
+                 WHEN n_chars < 512.0 THEN 4
+                 ELSE 5 END AS INT) AS bucket,
+       COUNT(*) AS n
+FROM documents GROUP BY grp, bucket
+""",
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.drift import histogram
+
+    docs = read_table(spark, sf_dir, "documents")
+    return histogram(docs, "lang", F.col("n_chars"), _DRIFT_EDGES)
