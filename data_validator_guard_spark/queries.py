@@ -3441,3 +3441,87 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return histogram(docs, "lang", F.col("n_chars"), _DRIFT_EDGES)
+
+
+# =====================================================================
+# 64. Remaining table coverage: `part` aggregates; rule-suite validation
+#     over the embeddings table (derived exact-integer norm column feeds
+#     min_max — rules over derived columns, not just raw ones).
+# =====================================================================
+@query(
+    "part_price_by_brand",
+    oracle="""
+SELECT p_brand,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price,
+       CAST(MIN(p_size) AS BIGINT) AS min_size,
+       CAST(MAX(p_size) AS BIGINT) AS max_size,
+       COUNT(*) AS n
+FROM part GROUP BY p_brand
+""",
+)
+def q_part_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.sum(F.col("p_retailprice").cast("decimal(20,4)")).cast("double").alias("total_price"),
+        F.min("p_size").cast("bigint").alias("min_size"),
+        F.max("p_size").cast("bigint").alias("max_size"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "verdicts_embeddings",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         len(embedding) AS dim,
+         list_sum(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS qnorm2
+  FROM embeddings
+)
+SELECT 'dim_is_64' AS rule_id, '__all__' AS "partition",
+       SUM(CASE WHEN NOT COALESCE(dim = 64, FALSE) THEN 1 ELSE 0 END) = 0 AS pass,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN NOT COALESCE(dim = 64, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM q
+UNION ALL
+SELECT 'norm_nonzero', '__all__',
+       SUM(CASE WHEN qnorm2 IS NULL OR qnorm2 < 1 OR qnorm2 > 1000000000 THEN 1 ELSE 0 END) = 0,
+       COUNT(*),
+       CAST(SUM(CASE WHEN qnorm2 IS NULL OR qnorm2 < 1 OR qnorm2 > 1000000000 THEN 1 ELSE 0 END) AS BIGINT)
+FROM q
+UNION ALL
+SELECT 'vec_id_unique', '__all__',
+       (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM (
+          SELECT COUNT(*) AS n FROM q GROUP BY vec_id HAVING COUNT(*) > 1)) = 0,
+       COUNT(*),
+       (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM (
+          SELECT COUNT(*) AS n FROM q GROUP BY vec_id HAVING COUNT(*) > 1))
+FROM q
+""",
+)
+def q_verdicts_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene as a rule suite: fixed dimension, bounded
+    exact-integer norm (degenerate zero/exploding vectors), unique ids —
+    rules run over DERIVED columns added before validate()."""
+    from data_validator_guard_spark.operators.dedup import _int_dot, _quantize
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = _quantize(F.col("embedding"), 1000)
+    derived = emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        _int_dot(qv, qv).alias("qnorm2"),
+    )
+    suite = RuleSuite(
+        "embeddings",
+        [
+            Rule("dim_is_64", "cross_column", (), {"expr": "dim = 64"}),
+            Rule("norm_nonzero", "min_max", ("qnorm2",), {"lo": 1, "hi": 1_000_000_000}),
+            Rule("vec_id_unique", "unique", ("vec_id",)),
+        ],
+        key_cols=("vec_id",),
+    )
+    verdicts, _ = validate(derived, suite)
+    return verdicts
