@@ -3525,3 +3525,65 @@ def q_verdicts_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verdicts, _ = validate(derived, suite)
     return verdicts
+
+
+# =====================================================================
+# 65. Semi-structured profiling: JSON key inventory over events.props
+#     (schema inference for opaque JSON columns) and per-source language
+#     purity (majority-share profiling).
+# =====================================================================
+@query(
+    "json_key_inventory",
+    oracle="""
+SELECT k AS key, COUNT(*) AS n
+FROM (SELECT unnest(json_keys(props)) AS k FROM events WHERE props IS NOT NULL)
+GROUP BY k
+""",
+)
+def q_json_key_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("props").isNotNull())
+        .select(F.explode(F.json_object_keys("props")).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "source_language_purity",
+    oracle="""
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+),
+t AS (
+  SELECT source, SUM(n) AS total, MAX(n) AS top_n,
+         COUNT(*) AS n_langs
+  FROM c GROUP BY source
+)
+SELECT source, CAST(total AS BIGINT) AS total, n_langs,
+       CAST(top_n AS BIGINT) AS top_n,
+       CAST(top_n AS DOUBLE) / CAST(total AS DOUBLE) AS purity
+FROM t
+""",
+)
+def q_source_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-language share per source — mixed-language shards are a
+    curation smell; exact integer counts, one final division."""
+    docs = read_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("total"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.max("n").cast("bigint").alias("top_n"),
+        )
+        .select(
+            "source",
+            "total",
+            "n_langs",
+            "top_n",
+            (F.col("top_n").cast("double") / F.col("total").cast("double")).alias("purity"),
+        )
+    )
