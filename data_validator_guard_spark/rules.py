@@ -93,6 +93,33 @@ PLAN_LEVEL_TYPES = frozenset(
 )
 ALL_TYPES = ROW_LEVEL_TYPES | AGG_LEVEL_TYPES | PLAN_LEVEL_TYPES
 
+# Required params per rule type — validated at Rule construction so a
+# misconfigured rulebook fails at DEFINITION time with a named message, not
+# deep inside plan compilation with a KeyError.
+REQUIRED_PARAMS: dict[str, tuple[str, ...]] = {
+    "regex_match": ("pattern",),
+    "no_regex_match": ("pattern",),
+    "allowed_values": ("values",),
+    "cross_column": ("expr",),
+    "range_tolerance": ("value", "expected", "tol"),
+    "derived_equality": ("value", "expected"),
+    "foreign_key": ("dim",),
+    "group_consistency": ("group_by",),
+    "join_consistency": ("other", "on", "expr"),
+    "null_rate_max": ("max_rate",),
+    "min_rows": ("n",),
+    "drift": ("group_by", "value", "edges", "baseline"),
+}
+
+# Rule types whose check is per-column and therefore need >= 1 column.
+_NEEDS_COLUMNS = ROW_LEVEL_TYPES - {"cross_column", "completeness", "range_tolerance", "derived_equality"} | {
+    "unique",
+    "unique_normalized",
+    "foreign_key",
+    "null_rate_max",
+    "cardinality_range",
+}
+
 
 @dataclass(frozen=True)
 class Rule:
@@ -111,6 +138,18 @@ class Rule:
             object.__setattr__(self, "columns", (self.columns,))
         else:
             object.__setattr__(self, "columns", tuple(self.columns))
+        missing = [
+            k for k in REQUIRED_PARAMS.get(self.type, ()) if k not in self.params
+        ]
+        if missing:
+            raise ValueError(
+                f"rule {self.rule_id!r} ({self.type}) missing required "
+                f"params: {missing}"
+            )
+        if self.type in _NEEDS_COLUMNS and not self.columns:
+            raise ValueError(
+                f"rule {self.rule_id!r} ({self.type}) requires at least one column"
+            )
 
 
 @dataclass(frozen=True)

@@ -394,3 +394,18 @@ def test_join_consistency_rule(spark):
 
     v2, _ = validate(df, mk(False))
     assert v2.collect()[0].n_violations == 1  # unmatched row 3 skipped
+
+
+def test_rule_param_validation_fails_at_definition_time(spark):
+    import pytest as _pytest
+
+    from data_validator_guard_spark.rules import Rule
+
+    with _pytest.raises(ValueError, match="missing required params: \\['pattern'\\]"):
+        Rule("r", "regex_match", ("a",))
+    with _pytest.raises(ValueError, match="requires at least one column"):
+        Rule("r", "unique", ())
+    with _pytest.raises(ValueError, match="missing required params"):
+        Rule("r", "join_consistency", ("a",), {"other": None})
+    # min_max legitimately allows one-sided bounds
+    Rule("ok", "min_max", ("a",), {"lo": 0})

@@ -165,3 +165,46 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got[("click", "2026-01-01")] == 2
     # day 4's window closed once the watermark advanced past it
     assert got[("click", "2026-01-04")] == 1
+
+
+def test_stream_with_plan_level_rules(spark, tmp_path):
+    """Plan-level rules (unique + drift) run unchanged inside foreachBatch —
+    the streaming path reuses the full batch compiler, not a reduced rule
+    subset."""
+    import os as _os
+
+    from data_validator_guard_spark.operators.drift import histogram
+    from data_validator_guard_spark.rules import Rule as _Rule
+    from data_validator_guard_spark.rules import RuleSuite as _Suite
+
+    inp = str(tmp_path / "in2")
+    out = str(tmp_path / "out2")
+    rows = [("a", i % 5) for i in range(40)] + [("a", 1)]  # one duplicate v per k
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(inp)
+    baseline = histogram(df, "grp", F.col("v").cast("double"), [0.0, 2.0, 4.0])
+    suite = _Suite(
+        "s2",
+        [
+            _Rule("v_unique", "unique", ("v",)),
+            _Rule(
+                "v_drift",
+                "drift",
+                ("v",),
+                {
+                    "group_by": "grp",
+                    "value": "cast(v as double)",
+                    "edges": [0.0, 2.0, 4.0],
+                    "baseline": baseline,
+                    "threshold": 0.5,
+                },
+            ),
+        ],
+        partition_by="grp",
+    )
+    q = validate_stream(spark, inp, SCHEMA, suite, out)
+    q.awaitTermination(120)
+    v = spark.read.parquet(_os.path.join(out, "verdicts"))
+    got = {r.rule_id: (r["pass"], r.n_violations) for r in v.collect()}
+    assert got["v_unique"][0] is False and got["v_unique"][1] > 0
+    assert got["v_drift"] == (True, 0)  # same data as baseline -> no drift
