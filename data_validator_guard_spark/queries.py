@@ -3587,3 +3587,106 @@ def q_source_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("top_n").cast("double") / F.col("total").cast("double")).alias("purity"),
         )
     )
+
+
+# =====================================================================
+# 66. Q5 shape: six-table join chain with the same-nation predicate
+#     (customer and supplier of each lineitem share a nation) — the deepest
+#     join the engine exercises; dims broadcast, facts shuffle on keys.
+# =====================================================================
+@query(
+    "local_supplier_revenue",
+    oracle="""
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+GROUP BY n.n_name
+""",
+)
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# =====================================================================
+# 67. Suite-health summary: the verdicts DataFrame reduced to the one-row
+#     executive view (the reference's terminal "validation OK/NOT OK").
+# =====================================================================
+@query(
+    "suite_health_summary",
+    oracle="""
+WITH t AS (SELECT * FROM documents),
+dup AS (
+  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n FROM (
+    SELECT COUNT(*) AS n FROM t GROUP BY doc_id HAVING COUNT(*) > 1
+  ) d
+),
+v AS (
+  SELECT 'text_not_blank' AS rule_id,
+         SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) = 0 AS pass,
+         CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS nv
+  FROM t
+  UNION ALL
+  SELECT 'doc_unique', (SELECT n FROM dup) = 0, (SELECT n FROM dup) FROM t GROUP BY ()
+  UNION ALL
+  SELECT 'lang_fk',
+         SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) = 0,
+         CAST(SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS BIGINT)
+  FROM t
+)
+SELECT COUNT(*) AS n_rules,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+       CAST(SUM(nv) AS BIGINT) AS total_violations,
+       SUM(CASE WHEN pass THEN 1 ELSE 0 END) = COUNT(*) AS all_pass
+FROM v
+""",
+)
+def q_suite_health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verdicts frame reduced to one health row — the distributed analog
+    of the reference's final print (general_validation.py:126-127)."""
+    docs = read_table(spark, sf_dir, "documents")
+    dim = spark.createDataFrame([(l,) for l in ALLOWED_DOC_LANGS], "lang string")
+    suite = RuleSuite(
+        "documents_health",
+        [
+            Rule("text_not_blank", "not_blank", ("text",)),
+            Rule("doc_unique", "unique", ("doc_id",)),
+            Rule("lang_fk", "foreign_key", ("lang",), {"dim": dim, "inline": True}),
+        ],
+        key_cols=("doc_id",),
+    )
+    verdicts, _ = validate(docs, suite)
+    return verdicts.agg(
+        F.count(F.lit(1)).alias("n_rules"),
+        F.sum(F.col("pass").cast("bigint")).alias("n_passed"),
+        F.sum("n_violations").alias("total_violations"),
+        (F.sum(F.col("pass").cast("bigint")) == F.count(F.lit(1))).alias("all_pass"),
+    )
