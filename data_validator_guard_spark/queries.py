@@ -3690,3 +3690,142 @@ def q_suite_health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_violations").alias("total_violations"),
         (F.sum(F.col("pass").cast("bigint")) == F.count(F.lit(1))).alias("all_pass"),
     )
+
+
+# =====================================================================
+# 68. The complete rule battery (query #100): every rule family in ONE
+#     suite over documents — 16 rules, still exactly one fused totals scan
+#     plus the unique/group-consistency fragments. Each verdict counter is
+#     reproduced in ANSI SQL.
+# =====================================================================
+_BATTERY_ORACLE = """
+WITH t AS (SELECT * FROM documents),
+dup AS (
+  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n FROM (
+    SELECT COUNT(*) AS n FROM t GROUP BY doc_id HAVING COUNT(*) > 1
+  ) d
+),
+gc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT source FROM t GROUP BY source HAVING COUNT(DISTINCT lang) > 1
+  ) g
+),
+rows_v AS (
+  SELECT
+    CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END AS v_blank,
+    CASE WHEN lang IS NULL OR NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END AS v_regex,
+    CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 1000000 THEN 1 ELSE 0 END AS v_range,
+    CASE WHEN source IS NULL OR length(source) < 4 OR length(source) > 5 THEN 1 ELSE 0 END AS v_len,
+    CASE WHEN source IS NULL OR source NOT IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9') THEN 1 ELSE 0 END AS v_allowed,
+    CASE WHEN NOT COALESCE(n_chars = length(text), FALSE) THEN 1 ELSE 0 END AS v_cross,
+    CASE WHEN NOT COALESCE(abs(n_chars - 256) <= 200.0, FALSE) THEN 1 ELSE 0 END AS v_tol,
+    CASE WHEN NOT COALESCE(source = 'src' || CAST(doc_id % 20 AS VARCHAR), FALSE) THEN 1 ELSE 0 END AS v_derived,
+    CASE WHEN (CASE WHEN text IS NOT NULL AND trim(text) <> '' THEN 1 ELSE 0 END
+             + CASE WHEN lang IS NOT NULL AND trim(lang) <> '' THEN 1 ELSE 0 END
+             + CASE WHEN source IS NOT NULL AND trim(source) <> '' THEN 1 ELSE 0 END)
+             / 3.0e0 < 0.99 THEN 1 ELSE 0 END AS v_complete,
+    CASE WHEN doc_id % 10 < 5 AND lang IS NULL THEN 1 ELSE 0 END AS v_guarded,
+    CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END AS v_fk,
+    CASE WHEN lang IS NULL OR trim(lang) = '' THEN 1 ELSE 0 END AS blank_lang
+  FROM t
+),
+agg AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(v_blank) AS BIGINT) AS s_blank,
+         CAST(SUM(v_regex) AS BIGINT) AS s_regex,
+         CAST(SUM(v_range) AS BIGINT) AS s_range,
+         CAST(SUM(v_len) AS BIGINT) AS s_len,
+         CAST(SUM(v_allowed) AS BIGINT) AS s_allowed,
+         CAST(SUM(v_cross) AS BIGINT) AS s_cross,
+         CAST(SUM(v_tol) AS BIGINT) AS s_tol,
+         CAST(SUM(v_derived) AS BIGINT) AS s_derived,
+         CAST(SUM(v_complete) AS BIGINT) AS s_complete,
+         CAST(SUM(v_guarded) AS BIGINT) AS s_guarded,
+         CAST(SUM(v_fk) AS BIGINT) AS s_fk,
+         CAST(SUM(blank_lang) AS BIGINT) AS s_blank_lang,
+         (SELECT COUNT(DISTINCT source) FROM t) AS card_source
+  FROM rows_v
+)
+SELECT 'text_not_blank' AS rule_id, '__all__' AS "partition", s_blank = 0 AS pass, n_rows, s_blank AS n_violations FROM agg
+UNION ALL SELECT 'lang_pattern', '__all__', s_regex = 0, n_rows, s_regex FROM agg
+UNION ALL SELECT 'nchars_range', '__all__', s_range = 0, n_rows, s_range FROM agg
+UNION ALL SELECT 'source_len', '__all__', s_len = 0, n_rows, s_len FROM agg
+UNION ALL SELECT 'source_allowed', '__all__', s_allowed = 0, n_rows, s_allowed FROM agg
+UNION ALL SELECT 'nchars_is_len', '__all__', s_cross = 0, n_rows, s_cross FROM agg
+UNION ALL SELECT 'nchars_near_256', '__all__', s_tol = 0, n_rows, s_tol FROM agg
+UNION ALL SELECT 'derived_source', '__all__', s_derived = 0, n_rows, s_derived FROM agg
+UNION ALL SELECT 'row_complete', '__all__', s_complete = 0, n_rows, s_complete FROM agg
+UNION ALL SELECT 'lang_notnull_low_ids', '__all__', s_guarded = 0, n_rows, s_guarded FROM agg
+UNION ALL SELECT 'lang_fk', '__all__', s_fk = 0, n_rows, s_fk FROM agg
+UNION ALL SELECT 'doc_unique', '__all__', (SELECT n FROM dup) = 0, n_rows, (SELECT n FROM dup) FROM agg
+UNION ALL SELECT 'source_lang_consistent', '__all__', (SELECT n FROM gc) = 0, n_rows, (SELECT n FROM gc) FROM agg
+UNION ALL SELECT 'min_rows', '__all__', n_rows >= 1, n_rows, CAST(CASE WHEN n_rows >= 1 THEN 0 ELSE 1 END AS BIGINT) FROM agg
+UNION ALL SELECT 'lang_null_rate', '__all__', CAST(s_blank_lang AS DOUBLE) / n_rows <= 0.5, n_rows, s_blank_lang FROM agg
+UNION ALL SELECT 'source_cardinality', '__all__', card_source BETWEEN 1 AND 1000, n_rows,
+          CAST(CASE WHEN card_source BETWEEN 1 AND 1000 THEN 0 ELSE 1 END AS BIGINT) FROM agg
+"""
+
+
+@query("full_rule_battery", oracle=_BATTERY_ORACLE)
+def q_full_rule_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    dim = spark.createDataFrame([(l,) for l in ALLOWED_DOC_LANGS], "lang string")
+    suite = RuleSuite(
+        "documents_battery",
+        [
+            Rule("text_not_blank", "not_blank", ("text",)),
+            Rule("lang_pattern", "regex_match", ("lang",), {"pattern": LANG_PATTERN}),
+            Rule("nchars_range", "min_max", ("n_chars",), {"lo": 1, "hi": 1000000}),
+            Rule("source_len", "length_range", ("source",), {"lo": 4, "hi": 5}),
+            Rule(
+                "source_allowed",
+                "allowed_values",
+                ("source",),
+                {"values": [f"src{i}" for i in range(10)]},
+            ),
+            Rule("nchars_is_len", "cross_column", (), {"expr": "n_chars = length(text)"}),
+            Rule(
+                "nchars_near_256",
+                "range_tolerance",
+                ("n_chars",),
+                {"value": "n_chars", "expected": "256", "tol": 200.0},
+            ),
+            Rule(
+                "derived_source",
+                "derived_equality",
+                ("source",),
+                {"value": "source", "expected": "concat('src', cast(doc_id % 20 as string))"},
+            ),
+            Rule(
+                "row_complete",
+                "completeness",
+                ("text", "lang", "source"),
+                {"threshold": 0.99},
+            ),
+            Rule(
+                "lang_notnull_low_ids",
+                "not_null",
+                ("lang",),
+                {"where": "doc_id % 10 < 5"},
+            ),
+            Rule("lang_fk", "foreign_key", ("lang",), {"dim": dim, "inline": True}),
+            Rule("doc_unique", "unique", ("doc_id",)),
+            Rule(
+                "source_lang_consistent",
+                "group_consistency",
+                ("lang",),
+                {"group_by": "source"},
+            ),
+            Rule("min_rows", "min_rows", (), {"n": 1}),
+            Rule("lang_null_rate", "null_rate_max", ("lang",), {"max_rate": 0.5}),
+            Rule(
+                "source_cardinality",
+                "cardinality_range",
+                ("source",),
+                {"lo": 1, "hi": 1000, "exact": True},
+            ),
+        ],
+        key_cols=("doc_id",),
+    )
+    verdicts, _ = validate(docs, suite)
+    return verdicts
