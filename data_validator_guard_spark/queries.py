@@ -3074,37 +3074,107 @@ FROM r
 """,
 )
 def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.quality import with_quality
+
     docs = read_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    tr = F.trim(t)
-    n_chars = F.length(t)
-    n_tokens = F.when(F.length(tr) == 0, F.lit(0)).otherwise(F.size(F.split(tr, r"\s+")))
-    n_distinct = F.size(F.array_distinct(F.split(tr, r"\s+")))
-    n_stop = F.regexp_count(t, F.lit(r"\b(the|a|of|and|to|in)\b"))
-    n_email = F.regexp_count(t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"))
-    too_short = n_chars < 64
-    too_long = n_chars > 100000
-    low_stop = (n_tokens > 0) & (
-        n_stop.cast("double") / n_tokens.cast("double") < 0.01
-    )
-    too_rep = (n_tokens > 0) & (
-        F.lit(1.0) - n_distinct.cast("double") / n_tokens.cast("double") > 0.6
-    )
-    has_pii = n_email > 0
-    flags = [
-        (too_short, "too_short"),
-        (too_long, "too_long"),
-        (low_stop, "low_stopword"),
-        (too_rep, "too_repetitive"),
-        (has_pii, "has_pii"),
-    ]
-    return docs.select(
-        "doc_id",
-        (~(too_short | too_long | low_stop | too_rep | has_pii)).alias("keep"),
-        F.concat_ws(
-            ",", *[F.when(c, F.lit(name)) for c, name in flags]
-        ).alias("reasons"),
-    )
+    return with_quality(docs, "text").select("doc_id", "keep", "reasons")
+
+
+# =====================================================================
+# 56b. End-to-end curation disposition: the ENTIRE curation pipeline
+#     (quality filter → exact dedup → md5 split → decontamination) folded
+#     into one per-document label — the same shared operator jobs/curate.py
+#     routes on, so the job's semantics are oracle-checked here (round-2
+#     verdict: the job carried an unchecked, drifted copy of the filter).
+# =====================================================================
+_DISPOSITION_ORACLE = (
+    r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+         len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS n_stop,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+r AS (
+  SELECT doc_id, fp,
+         n_chars < 64 AS too_short,
+         n_chars > 100000 AS too_long,
+         n_tokens > 0 AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.01 AS low_stopword,
+         n_tokens > 0 AND 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.6 AS too_repetitive,
+         n_email > 0 AS has_pii
+  FROM f
+),
+k AS (
+  SELECT doc_id, fp,
+         NOT (too_short OR too_long OR low_stopword OR too_repetitive OR has_pii) AS keep,
+         concat_ws(',',
+           CASE WHEN too_short THEN 'too_short' END,
+           CASE WHEN too_long THEN 'too_long' END,
+           CASE WHEN low_stopword THEN 'low_stopword' END,
+           CASE WHEN too_repetitive THEN 'too_repetitive' END,
+           CASE WHEN has_pii THEN 'has_pii' END) AS reasons
+  FROM r
+),
+m AS (
+  SELECT *, MIN(CASE WHEN keep THEN doc_id END) OVER (PARTITION BY fp) AS min_kept
+  FROM k
+),
+s AS (
+  SELECT *, COALESCE(keep AND doc_id = min_kept, FALSE) AS surv,
+         CASE WHEN """
+    + _SPLIT_BUCKET_SQL
+    + """ < 80 THEN 'train'
+              WHEN """
+    + _SPLIT_BUCKET_SQL
+    + r""" < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM m
+),
+e AS (SELECT DISTINCT fp FROM s WHERE surv AND split <> 'train')
+SELECT s.doc_id,
+       CASE WHEN NOT s.keep THEN 'dropped'
+            WHEN NOT s.surv THEN 'duplicate'
+            WHEN s.split = 'train' AND e.fp IS NOT NULL THEN 'contaminated'
+            ELSE s.split END AS disposition,
+       s.reasons
+FROM s LEFT JOIN e ON e.fp = s.fp
+"""
+)
+
+
+@query("curation_pipeline", oracle=_DISPOSITION_ORACLE)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.quality import curation_disposition
+
+    docs = read_table(spark, sf_dir, "documents")
+    return curation_disposition(docs, "text", "doc_id")
+
+
+# Same pipeline with an EXTERNAL benchmark corpus (docs with doc_id % 97 == 0
+# stand in for an eval set): their content fingerprints decontaminate the
+# train split, so the 'contaminated' branch is exercised for real (within a
+# self-split, exact dedup makes internal contamination impossible).
+_DISPOSITION_DECONTAM_ORACLE = _DISPOSITION_ORACLE.replace(
+    "e AS (SELECT DISTINCT fp FROM s WHERE surv AND split <> 'train')",
+    "e AS (SELECT DISTINCT fp FROM ("
+    "SELECT fp FROM s WHERE surv AND split <> 'train' "
+    "UNION ALL SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp "
+    "FROM documents WHERE doc_id % 97 = 0))",
+)
+
+
+@query("curation_pipeline_decontam", oracle=_DISPOSITION_DECONTAM_ORACLE)
+def q_curation_pipeline_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.quality import curation_disposition
+
+    docs = read_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    return curation_disposition(docs, "text", "doc_id", eval_docs=benchmark)
 
 
 # =====================================================================

@@ -10,9 +10,15 @@ Chains the pipeline operators the way a real pretraining-data run does::
         val/test — eval stays pristine, train loses the leaks)
       → chunking of the train split (overlapping char windows)
 
+The whole decision layer is ONE shared operator —
+``operators.quality.curation_disposition`` — which labels every document
+dropped / duplicate / contaminated / train / val / test. The registry's
+``curation_pipeline`` query runs the identical operator against a full SQL
+oracle, so this job's semantics (not just its stage counts) are
+oracle-checked; this file only routes rows by label and writes outputs.
+
 Outputs under --out: ``train_chunks/ val/ test/ dropped/`` (parquet) and a
-one-line JSON summary on stdout. Every stage is the same oracle-tested
-operator the query registry exposes; this file only sequences them.
+one-line JSON summary on stdout.
 
 Example::
 
@@ -41,81 +47,54 @@ def curate(
     id_col: str = "doc_id",
     chunk_size: int = 512,
     stride: int = 384,
+    **thresholds,
 ) -> dict:
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
-    from data_validator_guard_spark.operators.dedup import exact_duplicates
+    from data_validator_guard_spark.operators.quality import curation_disposition
     from data_validator_guard_spark.operators.text import chunk_documents
-    from data_validator_guard_spark.operators.text import normalize_text  # noqa: F401
 
-    t = F.col(text_col)
-    tr = F.trim(t)
-    n_chars = F.length(t)
-    n_tokens = F.when(F.length(tr) == 0, F.lit(0)).otherwise(F.size(F.split(tr, r"\s+")))
-    n_distinct = F.size(F.array_distinct(F.split(tr, r"\s+")))
-    n_stop = F.regexp_count(t, F.lit(r"\b(the|a|of|and|to|in)\b"))
-    n_email = F.regexp_count(
-        t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
-    )
-    drop = (
-        (n_chars < 8)
-        | (n_chars > 100000)
-        | ((n_tokens > 0) & (n_stop.cast("double") / n_tokens.cast("double") < 0.0))
-        | ((n_tokens > 0) & (F.lit(1.0) - n_distinct.cast("double") / n_tokens.cast("double") > 0.9))
-        | (n_email > 0)
-    )
-    flagged = docs.withColumn("__drop", drop)
-    flagged.filter(F.col("__drop")).drop("__drop").write.mode("overwrite").parquet(
-        os.path.join(out_dir, "dropped")
-    )
-    kept = flagged.filter(~F.col("__drop")).drop("__drop")
+    disp = curation_disposition(docs, text_col, id_col, **thresholds)
+    labeled = docs.join(disp, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        by = {
+            r["disposition"]: r["n"]
+            for r in labeled.groupBy("disposition")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
 
-    # exact dedup: keep the min-id survivor per fingerprint
-    keep_ids = exact_duplicates(kept, text_col, id_col).select(
-        F.col("keep_id").alias(id_col)
-    )
-    deduped = kept.join(keep_ids, id_col, "left_semi")
+        labeled.filter(F.col("disposition") == "dropped").drop(
+            "disposition"
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "dropped"))
+        for name in ("val", "test"):
+            labeled.filter(F.col("disposition") == name).drop(
+                "disposition", "reasons"
+            ).write.mode("overwrite").parquet(os.path.join(out_dir, name))
 
-    # deterministic split
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 3), 16, 10)
-        .cast("bigint")
-        % 100
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    with_split = deduped.withColumn("split", split)
+        train_clean = labeled.filter(F.col("disposition") == "train").drop(
+            "disposition", "reasons"
+        )
+        chunks = chunk_documents(train_clean, text_col, id_col, chunk_size, stride)
+        chunks.write.mode("overwrite").parquet(os.path.join(out_dir, "train_chunks"))
+        n_chunks = spark.read.parquet(os.path.join(out_dir, "train_chunks")).count()
+    finally:
+        labeled.unpersist()
 
-    # decontaminate TRAIN against val/test fingerprints (exact)
-    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")))
-    eval_fps = (
-        with_split.filter(F.col("split") != "train").select(fp.alias("__fp")).distinct()
-    )
-    train = with_split.filter(F.col("split") == "train").withColumn("__fp", fp)
-    train_clean = train.join(eval_fps, "__fp", "left_anti").drop("__fp")
-
-    for name in ("val", "test"):
-        with_split.filter(F.col("split") == name).drop("split").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, name))
-    chunks = chunk_documents(train_clean, text_col, id_col, chunk_size, stride)
-    chunks.write.mode("overwrite").parquet(os.path.join(out_dir, "train_chunks"))
-
-    stats = {
-        "n_input": docs.count(),
-        "n_dropped": spark.read.parquet(os.path.join(out_dir, "dropped")).count(),
-        "n_deduped": deduped.count(),
-        "n_train": train_clean.count(),
-        "n_val": spark.read.parquet(os.path.join(out_dir, "val")).count(),
-        "n_test": spark.read.parquet(os.path.join(out_dir, "test")).count(),
-        "n_train_chunks": spark.read.parquet(
-            os.path.join(out_dir, "train_chunks")
-        ).count(),
+    return {
+        "n_input": sum(by.values()),
+        "n_dropped": by.get("dropped", 0),
+        # survivors of filter+dedup (train incl. later-decontaminated + eval)
+        "n_deduped": sum(
+            by.get(k, 0) for k in ("train", "contaminated", "val", "test")
+        ),
+        "n_contaminated": by.get("contaminated", 0),
+        "n_train": by.get("train", 0),
+        "n_val": by.get("val", 0),
+        "n_test": by.get("test", 0),
+        "n_train_chunks": n_chunks,
     }
-    return stats
 
 
 def main(argv: list[str] | None = None) -> int:
