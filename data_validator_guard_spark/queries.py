@@ -683,36 +683,6 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_ORACLE = r"""
-WITH tok AS (
-  SELECT DISTINCT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
-  FROM documents
-),
-h AS (SELECT id, md5(t) AS h FROM tok),
-agg AS (
-  SELECT id,
-{sums}
-  FROM h GROUP BY id
-)
-SELECT id,
-{bits} AS simhash
-FROM agg
-""".format(
-    sums=",\n".join(
-        f"    SUM(CASE WHEN strpos('89abcdef', substr(h, {j + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(16)
-    ),
-    bits=" || ".join(f"(CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END)" for j in range(16)),
-)
-
-
-@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_validator_guard_spark.operators.dedup import simhash
-
-    return simhash(read_table(spark, sf_dir, "documents"), "text", "doc_id")
-
-
 # =====================================================================
 # 15. Similarity search (operators/similarity.py). Oracle recomputes the
 #     same cosine in SQL; ranks use a total tiebreak so floats never
@@ -2290,6 +2260,23 @@ def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dup = _docs_with_near_dups(spark, sf_dir)
     return simhash_near_duplicates(dup, "text", "doc_id", bands=4, max_hamming=4)
+
+
+# `dedup_simhash` (round-2 verdict #3): the public SimHash query now routes
+# through the SAME 64-bit banded pairing over the plain documents table — the
+# 16-bit signature operator is deleted (65,536 buckets → quadratic pairing at
+# corpus scale). Name kept stable for the driver snapshot.
+_SIMHASH_ORACLE = _SIMHASH64_ORACLE.replace(
+    _NEAR_DUP_CTE, "WITH docs AS (SELECT doc_id, text, lang FROM documents)\n"
+)
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.dedup import simhash_near_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "text", "doc_id", bands=4, max_hamming=4)
 
 
 # =====================================================================

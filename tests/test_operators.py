@@ -51,16 +51,16 @@ def test_ngram_jaccard_blocking(spark):
     assert got == {(1, 2)}
 
 
-def test_simhash_identical_docs_equal(spark):
-    from data_validator_guard_spark.operators.dedup import simhash
+def test_simhash64_identical_docs_equal(spark):
+    from data_validator_guard_spark.operators.dedup import simhash64
 
     df = spark.createDataFrame(
         [(1, "spark shuffles data across executors"), (2, "spark shuffles data across executors"), (3, "zzz qqq vvv")],
         "doc_id bigint, text string",
     )
-    sh = {r.id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+    sh = {r.id: r.simhash for r in simhash64(df, "text", "doc_id").collect()}
     assert sh[1] == sh[2]
-    assert len(sh[1]) == 16 and set(sh[1]) <= {"0", "1"}
+    assert len(sh[1]) == 64 and set(sh[1]) <= {"0", "1"}
 
 
 def test_brute_force_topk_exact(spark):
@@ -504,6 +504,28 @@ def test_connected_components_chain_and_isolates(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
 
 
+def test_connected_components_long_chain_converges_via_doubling(spark):
+    """A 60-node path has diameter 59 — plain min-label propagation needs 59
+    rounds, far past the default 20. Pointer jumping converges in O(log d),
+    so the default budget must suffice and every node lands in cluster 0."""
+    import pytest
+
+    from data_validator_guard_spark.operators.dedup import connected_components
+
+    n = 60
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 bigint, id2 bigint"
+    )
+    got = {r.id: r.cluster for r in connected_components(ids, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+    # round-2 verdict guard: a budget too small for the diameter must FAIL
+    # LOUDLY, never return partial (wrong) labels.
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ids, pairs, max_iterations=2)
+
+
 def test_contamination_detects_planted_leak(spark):
     """A test doc copied verbatim from train must be flagged by both
     detectors; a disjoint-vocabulary doc by neither."""
@@ -528,3 +550,18 @@ def test_contamination_detects_planted_leak(spark):
         for r in ngram_contamination(train, eval_df, "text", "doc_id", n=8).collect()
     }
     assert set(ng) == {10} and ng[10] == 1.0
+
+
+def test_unpersist_intermediates_releases_dedup_caches(spark):
+    """Long-lived sessions: every frame the near-dup operators persist is
+    released by one unpersist_intermediates() call (round-2 advice)."""
+    from data_validator_guard_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta eta theta") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    dedup.unpersist_intermediates()  # clean slate
+    dedup.minhash_near_duplicates(df, "text", "doc_id").count()
+    assert dedup.unpersist_intermediates() >= 2  # sig + shingles at minimum
+    assert dedup._PERSISTED == []
