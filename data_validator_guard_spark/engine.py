@@ -304,13 +304,61 @@ def _join_consistency_violations(
     on = list(p["on"])
     holds = F.expr(p["expr"])
     require_match = bool(p.get("require_match", True))
-    right = F.broadcast(other) if p.get("broadcast", True) else other
+
+    # Contract hardening (round-2 advice): (a) a dim column sharing a name
+    # with a left column that the expr references would be AMBIGUOUS at
+    # analysis time — fail loudly at definition time instead; unreferenced
+    # clashes are dropped from the dim (left columns win, so the expr keeps
+    # meaning "left value"). (b) duplicate dim join keys would fan matched
+    # rows out (n_violations could exceed n_rows) — collapse the dim to one
+    # row per key and weave an assert_true on the pre-collapse count into
+    # the join, so a non-unique dim fails the job instead of silently
+    # multiplying verdicts.
+    import re as _re
+
+    expr_idents = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", p["expr"]))
+    extra_cols = [c for c in other.columns if c not in on]
+    clash = [c for c in extra_cols if c in df.columns]
+    referenced_clash = [c for c in clash if c in expr_idents]
+    if referenced_clash:
+        raise ValueError(
+            f"join_consistency rule {rule.rule_id!r}: column(s) "
+            f"{referenced_clash} exist in BOTH the validated table and "
+            "params['other'] and are referenced by params['expr'] — rename "
+            "them on the dim (withColumnRenamed) so the expr is unambiguous"
+        )
+    keep_cols = [c for c in extra_cols if c not in clash]
+    collapsed = other.groupBy(*[F.col(c) for c in on]).agg(
+        *[F.first(F.col(c)).alias(c) for c in keep_cols],
+        F.count(F.lit(1)).alias("__dim_n"),
+    )
+    right = F.broadcast(collapsed) if p.get("broadcast", True) else collapsed
     sel = df.select(
         part.alias("partition"), keys.alias("keys"), *[F.col(c) for c in df.columns]
     )
-    # marker column survives the outer join iff the right side matched
-    right = right.withColumn("__matched", F.lit(True))
     joined = sel.join(right, on, "left")
+    # marker survives the outer join iff the right side matched; the woven
+    # assert_true fires on any matched row whose dim key had > 1 dim rows
+    # (an unreferenced assert column would be pruned by Catalyst, so it is
+    # fused into the marker every downstream predicate reads).
+    dim_unique = F.coalesce(F.col("__dim_n") == 1, F.lit(True))
+    joined = joined.withColumn(
+        "__matched",
+        # NULL when unmatched (downstream reads .isNull()), TRUE when matched
+        F.when(
+            F.assert_true(
+                dim_unique,
+                F.lit(
+                    f"join_consistency rule {rule.rule_id!r}: params['other'] "
+                    f"is not unique on join keys {on} — dedupe the dim or fix "
+                    "the keys (duplicate keys would fan out matched rows and "
+                    "inflate n_violations)"
+                ),
+            ).isNull()
+            & F.col("__dim_n").isNotNull(),
+            F.lit(True),
+        ),
+    )
     bad_expr = ~F.coalesce(holds, F.lit(False))
     if require_match:
         cond = F.when(F.col("__matched").isNull(), F.lit(True)).otherwise(bad_expr)

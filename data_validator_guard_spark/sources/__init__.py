@@ -54,16 +54,21 @@ def detect_encoding(spark: SparkSession, path: str, sample_files: int = 4) -> st
     ISO-8859-1 (which decodes any byte sequence). Heuristic by nature —
     callers with a known contract should pass the encoding explicitly.
     """
+    from pyspark.sql import functions as F
+
+    # Slice to the leading 4 KiB ON THE EXECUTORS (substring works on binary)
+    # so the driver receives only sample_files × 4 KiB — never whole file
+    # bodies (a multi-GB member file would otherwise OOM the driver).
     rows = (
         spark.read.format("binaryFile")
         .load(path)
-        .select("content")
+        .select(F.substring(F.col("content"), 1, 4096).alias("head"))
         .limit(sample_files)
         .collect()
     )
     votes: list[str] = []
     for (data,) in rows:
-        head = bytes(data[:4096])
+        head = bytes(data)
         enc = None
         for bom, name in _BOMS:
             if head.startswith(bom):

@@ -396,6 +396,62 @@ def test_join_consistency_rule(spark):
     assert v2.collect()[0].n_violations == 1  # unmatched row 3 skipped
 
 
+def test_join_consistency_duplicate_dim_keys_fail_loudly(spark):
+    """Round-2 advice: a dim that is NOT unique on the join keys would fan
+    matched rows out (n_violations > n_rows). The woven assert must fail the
+    job instead of silently multiplying verdicts."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    df = spark.createDataFrame([(1, "s1", "en")], "id bigint, code string, lang string")
+    dup_dim = spark.createDataFrame(
+        [("s1", "en"), ("s1", "de")], "code string, want string"
+    )
+    suite = RuleSuite(
+        "p",
+        [
+            Rule(
+                "agree",
+                "join_consistency",
+                ("lang",),
+                {"other": dup_dim, "on": ["code"], "expr": "lang = want"},
+            )
+        ],
+        key_cols=("id",),
+    )
+    _, violations = validate(df, suite)
+    with _pytest.raises(Exception, match="not unique on join keys"):
+        violations.collect()
+
+
+def test_join_consistency_ambiguous_column_rejected(spark):
+    """A dim column that shadows a left column AND is referenced by the expr
+    is ambiguous — rejected at plan-build time with an actionable message."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    df = spark.createDataFrame([(1, "s1", "en")], "id bigint, code string, lang string")
+    dim = spark.createDataFrame([("s1", "en")], "code string, lang string")
+    suite = RuleSuite(
+        "p",
+        [
+            Rule(
+                "agree",
+                "join_consistency",
+                ("lang",),
+                {"other": dim, "on": ["code"], "expr": "lang = lang"},
+            )
+        ],
+        key_cols=("id",),
+    )
+    with _pytest.raises(ValueError, match="rename them on the dim"):
+        validate(df, suite)
+
+
 def test_rule_param_validation_fails_at_definition_time(spark):
     import pytest as _pytest
 

@@ -54,6 +54,32 @@ def test_resume_only_recomputes_unfinished(spark, suite, tmp_path):
     assert sorted(map(tuple, got_x.collect())) == sorted(map(tuple, exp_x.collect()))
 
 
+def test_commit_point_reads_only_this_run(spark, suite, tmp_path):
+    """Round-2 'what's wrong' #4: ledger entries must derive from THIS run's
+    verdicts frame, not a re-read of the accumulated verdicts directory.
+    Plant a foreign, schema-incompatible partition dir under verdicts/
+    between runs — a commit point that rescans history would choke on (or
+    absorb) it; the fixed one never touches it."""
+    import os
+
+    df = _mkdf(spark)
+    out = str(tmp_path / "run")
+    partial = df.filter(F.col("grp").isin(["p0", "p1"]))
+    run_with_ledger(partial, suite, out, snapshot_id="s1", rule_version="r1")
+
+    # foreign junk in the output tree (e.g. another tool's leftovers)
+    junk_dir = os.path.join(out, "verdicts", "pt=__junk__")
+    spark.createDataFrame([("bogus",)], "totally_different string").write.mode(
+        "overwrite"
+    ).parquet(junk_dir)
+
+    s2 = run_with_ledger(df, suite, out, snapshot_id="s1", rule_version="r1")
+    assert s2 == {"partitions_done_before": 2, "partitions_validated": 2}
+    led = spark.read.parquet(os.path.join(out, "ledger"))
+    parts = {r.partition for r in led.select("partition").distinct().collect()}
+    assert parts == {"p0", "p1", "p2", "p3"}  # junk never entered the ledger
+
+
 def test_new_rule_version_revalidates(spark, suite, tmp_path):
     df = _mkdf(spark)
     out = str(tmp_path / "run")
