@@ -818,6 +818,181 @@ def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# 15b. IVF (coarse-quantizer) ANN — round-2 verdict's #5: deterministic
+#     integer k-means (md5-seeded, one Lloyd step, floor(sum/n) updates,
+#     L2 assignment with centroid-id tiebreak), nprobe-cell search, exact
+#     cosine ranking within candidates. The ENTIRE index build is SQL-
+#     reproducible, so assignment, search, and recall are all oracle-gated.
+# =====================================================================
+_IVF_DIST_SQL = (
+    "list_sum(list_transform(generate_series(1, len({v})), "
+    "d -> ({v}[d] - {c}[d]) * ({v}[d] - {c}[d])))"
+)
+
+_IVF_INDEX_CTE = rf"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+sd AS (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h FROM e ORDER BY h LIMIT 8),
+c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS centroid_id, qv AS cvec FROM sd),
+d0 AS (
+  SELECT e.vec_id, c.centroid_id, {_IVF_DIST_SQL.format(v='e.qv', c='c.cvec')} AS dist
+  FROM e CROSS JOIN c0 c
+),
+a0 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+sums AS (
+  SELECT a.centroid_id, d - 1 AS pos, SUM(e.qv[d]) AS s, COUNT(*) AS n
+  FROM a0 a JOIN e USING (vec_id), generate_series(1, 64) AS g(d)  -- testdata embeddings are dim-64
+  GROUP BY a.centroid_id, pos
+),
+c1new AS (
+  SELECT centroid_id, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cvec
+  FROM sums GROUP BY centroid_id
+),
+c1 AS (
+  SELECT c0.centroid_id, COALESCE(c1new.cvec, c0.cvec) AS cvec
+  FROM c0 LEFT JOIN c1new USING (centroid_id)
+),
+d1 AS (
+  SELECT e.vec_id, c.centroid_id, {_IVF_DIST_SQL.format(v='e.qv', c='c.cvec')} AS dist
+  FROM e CROSS JOIN c1 c
+),
+a1 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+    FROM d1
+  ) WHERE rn = 1
+)"""
+
+_IVF_ASSIGN_ORACLE = (
+    _IVF_INDEX_CTE
+    + """
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id FROM a1
+"""
+)
+
+
+@query("similarity_ivf_assign", oracle=_IVF_ASSIGN_ORACLE)
+def q_similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted index-build output: every vector's IVF cell. At 100 TB
+    this frame is written bucketed by centroid_id so searches read only
+    their probe cells."""
+    from data_validator_guard_spark.operators.similarity import ivf_assignments
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_assignments(emb, "embedding", "vec_id", n_clusters=8, iters=1)
+
+
+_IVF_SEARCH_CTE = (
+    _IVF_INDEX_CTE
+    + f""",
+q AS (
+  SELECT em.vec_id AS query_id, em.embedding AS qorig, e.qv
+  FROM embeddings em JOIN e ON e.vec_id = em.vec_id
+  WHERE em.vec_id < 10
+),
+probes AS (
+  SELECT query_id, qorig, centroid_id FROM (
+    SELECT q.query_id, q.qorig, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_IVF_DIST_SQL.format(v='q.qv', c='c.cvec')},
+                                       c.centroid_id) AS pr
+    FROM q CROSS JOIN c1 c
+  ) WHERE pr <= 3
+),
+cells AS (
+  SELECT a1.vec_id, a1.centroid_id, em.embedding
+  FROM a1 JOIN embeddings em USING (vec_id)
+),
+scored AS (
+  SELECT p.query_id, cl.vec_id AS neighbor_id,
+         list_cosine_similarity(p.qorig, cl.embedding) AS sim
+  FROM probes p JOIN cells cl USING (centroid_id)
+  WHERE cl.vec_id <> p.query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)"""
+)
+
+_IVF_TOPK_ORACLE = (
+    _IVF_SEARCH_CTE
+    + """
+SELECT query_id, neighbor_id, rank FROM approx WHERE rank <= 5
+"""
+)
+
+
+@query("similarity_ivf", oracle=_IVF_TOPK_ORACLE)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, queries_df, "embedding", "vec_id", k=5, n_clusters=8, nprobe=3, iters=1
+    )
+
+
+_IVF_RECALL_ORACLE = (
+    _IVF_SEARCH_CTE
+    + """
+, exact AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qorig, c.embedding) DESC,
+                                     c.vec_id) AS rank
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+),
+exact5 AS (SELECT query_id, neighbor_id FROM exact WHERE rank <= 5),
+approx5 AS (SELECT query_id, neighbor_id FROM approx WHERE rank <= 5),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact5 e
+  JOIN approx5 a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+),
+tot AS (SELECT query_id, COUNT(*) AS n_exact FROM exact5 GROUP BY query_id)
+SELECT t.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(t.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE) AS recall
+FROM tot t LEFT JOIN hits h ON h.query_id = t.query_id
+"""
+)
+
+
+@query("similarity_ivf_recall", oracle=_IVF_RECALL_ORACLE)
+def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF(nprobe=3 of 8 cells) vs brute force — measured and
+    oracle-checked; pytest pins the floor above multi-probe LSH's 0.62 at
+    comparable candidate volume."""
+    from data_validator_guard_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries_df, "embedding", "vec_id", k=5)
+    approx = ivf_topk(
+        emb, queries_df, "embedding", "vec_id", k=5, n_clusters=8, nprobe=3, iters=1
+    )
+    return recall_at_k(exact, approx)
+
+
+# =====================================================================
 # 16. Rulebook cleaning (operators/cleaning.py; M1/M2). Inline rulebook,
 #     byte-identity of surviving rows proven via sha256 in both engines.
 # =====================================================================

@@ -458,6 +458,39 @@ def test_bucketed_ann_recall_floor(spark):
     assert sum(x.recall for x in r1) / len(r1) <= mean_recall
 
 
+def test_ivf_ann_recall_beats_lsh_floor(spark):
+    """IVF(nprobe=3 of 8 cells, ~37% candidate volume) must reach mean
+    recall@5 >= 0.62 — the multi-probe LSH plateau it was built to beat
+    (round-2 verdict #5). Deterministic: 0.68 on sf0.01, 0.74 on sf0.001."""
+    from data_validator_guard_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    r = recall_at_k(
+        brute_force_topk(emb, q, k=5),
+        ivf_topk(emb, q, k=5, n_clusters=8, nprobe=3, iters=1),
+    ).collect()
+    mean_recall = sum(x.recall for x in r) / len(r)
+    assert mean_recall >= 0.62, f"IVF recall below LSH plateau: {mean_recall}"
+
+
+def test_ivf_assignment_is_total_and_deterministic(spark):
+    """Every vector gets exactly one cell; two builds agree exactly (no RNG
+    anywhere in the index build)."""
+    from data_validator_guard_spark.operators.similarity import ivf_assignments
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a1 = {(r.vec_id, r.centroid_id) for r in ivf_assignments(emb).collect()}
+    a2 = {(r.vec_id, r.centroid_id) for r in ivf_assignments(emb).collect()}
+    assert a1 == a2
+    assert len(a1) == emb.count()
+    assert {c for _, c in a1} <= set(range(8))
+
+
 def test_simhash64_banded_near_duplicates(spark):
     """Identical docs share all 4 bands and have hamming 0; an unrelated doc
     (disjoint vocabulary) must not pair under a tight hamming threshold."""
