@@ -122,14 +122,30 @@ def read_source(
 ) -> DataFrame:
     """Read the north-rule input table ``(repo, path, commit, lang, content)``.
 
-    ``source`` is either an Iceberg table identifier (``catalog.db.table`` —
-    requires the Iceberg runtime on the cluster classpath) or a parquet
-    directory (the sandbox stand-in). For Iceberg, ``snapshot_id`` pins the
-    read to a snapshot (the lineage id the ledger records), so resume always
-    re-reads the exact snapshot the first attempt saw — the distributed
-    version of the reference's clone-before-clean (`database/db.py:113-126`).
+    ``source`` is one of:
+
+    - an Iceberg table identifier (``catalog.db.table`` — requires the
+      Iceberg runtime on the cluster classpath);
+    - a snapstore table directory (``sources.snapstore`` — the sandbox's
+      filesystem double for Iceberg snapshot semantics);
+    - a plain parquet path (no snapshot support; ``snapshot_id`` rejected).
+
+    ``snapshot_id`` pins the read to a snapshot (the lineage id the ledger
+    records), so resume always re-reads the exact snapshot the first attempt
+    saw — the distributed version of the reference's clone-before-clean
+    (`database/db.py:113-126`).
     """
+    from data_validator_guard_spark.sources import snapstore
+
+    if os.path.isdir(source) and snapstore.is_snapstore(source):
+        return snapstore.read_snapshot(spark, source, snapshot_id)
     if os.path.exists(source) or source.endswith(".parquet"):
+        if snapshot_id is not None:
+            raise ValueError(
+                "snapshot_id requires an Iceberg table or a snapstore dir; "
+                f"{source!r} is plain parquet (a pinned read over mutable "
+                "files would silently NOT be pinned)"
+            )
         return spark.read.parquet(source)
     reader = spark.read
     if snapshot_id is not None:

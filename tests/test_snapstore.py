@@ -1,0 +1,157 @@
+"""Iceberg-semantics double: snapshot pinning, COW merge, pinned resume.
+
+Round-2 verdict #3: snapshot-pinned ``read_source`` and the M4 MERGE path
+were written for Iceberg but never executed (no runtime jar in the sandbox,
+no network to vendor one). These tests run those engine code paths against
+``sources.snapstore`` — a filesystem snapshot store with Iceberg's
+commit-into-metadata model — so the behaviors the ledger depends on
+(immutable snapshot reads, resume over a moved-on table) are exercised for
+real, not just documented.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validator_guard_spark.sources import read_source, snapstore
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "grp string, v int")
+
+
+def test_snapshot_reads_are_immutable(spark, tmp_path):
+    t = str(tmp_path / "t")
+    s1 = snapstore.create_table(t, _df(spark, [("a", 1), ("b", 2)]))
+    s2 = snapstore.append(t, _df(spark, [("c", 3)]))
+    assert (s1, s2) == (1, 2)
+    assert snapstore.current_snapshot_id(t) == 2
+
+    # pinned read of s1 ignores the append; default read sees everything
+    assert {r.v for r in snapstore.read_snapshot(spark, t, s1).collect()} == {1, 2}
+    assert {r.v for r in snapstore.read_snapshot(spark, t).collect()} == {1, 2, 3}
+
+    # overwrite starts a fresh file set but old snapshots stay readable
+    s3 = snapstore.overwrite(t, _df(spark, [("z", 9)]))
+    assert {r.v for r in snapstore.read_snapshot(spark, t, s3).collect()} == {9}
+    assert {r.v for r in snapstore.read_snapshot(spark, t, s2).collect()} == {1, 2, 3}
+
+
+def test_read_source_routes_and_pins(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapstore.create_table(t, _df(spark, [("a", 1)]))
+    snapstore.append(t, _df(spark, [("b", 2)]))
+    assert {r.v for r in read_source(spark, t, snapshot_id=1).collect()} == {1}
+    assert {r.v for r in read_source(spark, t).collect()} == {1, 2}
+
+    # plain parquet with a snapshot_id must fail loudly, not silently unpin
+    plain = str(tmp_path / "plain.parquet")
+    _df(spark, [("a", 1)]).write.parquet(plain)
+    with pytest.raises(ValueError, match="plain parquet"):
+        read_source(spark, plain, snapshot_id=1)
+
+
+def test_merge_into_update_insert_delete(spark, tmp_path):
+    t = str(tmp_path / "t")
+    target = spark.createDataFrame(
+        [("p1", "en", 10), ("p2", None, 20), ("p3", "de", 30)],
+        "pid string, lang string, n int",
+    )
+    snapstore.create_table(t, target)
+
+    # M4 fill/update fan-out: source fills p2's lang, updates p1, inserts p9
+    src = spark.createDataFrame(
+        [("p1", "fr"), ("p2", "es"), ("p9", "it")], "pid string, lang string"
+    )
+    pre_merge = snapstore.current_snapshot_id(t)
+    snapstore.merge_into(spark, t, src, on=["pid"])
+    got = {r.pid: (r.lang, r.n) for r in snapstore.read_snapshot(spark, t).collect()}
+    assert got == {
+        "p1": ("fr", 10),
+        "p2": ("es", 20),
+        "p3": ("de", 30),
+        "p9": ("it", None),  # inserted; target-only column NULL
+    }
+    # the pre-merge snapshot is the rollback handle (clone-before-clean)
+    old = {r.pid: r.lang for r in snapstore.read_snapshot(spark, t, pre_merge).collect()}
+    assert old == {"p1": "en", "p2": None, "p3": "de"}
+
+    # WHEN MATCHED THEN DELETE
+    snapstore.merge_into(
+        spark,
+        t,
+        spark.createDataFrame([("p3",)], "pid string"),
+        on=["pid"],
+        delete_matched=True,
+        insert_unmatched=False,
+    )
+    assert {r.pid for r in snapstore.read_snapshot(spark, t).collect()} == {
+        "p1",
+        "p2",
+        "p9",
+    }
+
+    # ambiguous merge source rejected (duplicate keys)
+    with pytest.raises(ValueError, match="not unique"):
+        snapstore.merge_into(
+            spark,
+            t,
+            spark.createDataFrame([("p1", "x"), ("p1", "y")], "pid string, lang string"),
+            on=["pid"],
+        )
+
+
+def test_ledger_resume_pinned_across_snapshots(spark, tmp_path):
+    """The north-rule resume story end to end: a killed run over snapshot s1
+    resumes PINNED to s1 and completes against exactly s1's rows, even
+    though the table has moved on to s2; a later run at s2 revalidates
+    under the new snapshot id."""
+    from data_validator_guard_spark.ledger import run_with_ledger
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    rows1 = [(f"p{i % 4}", i % 37) for i in range(100)]
+    s1 = snapstore.create_table(t, _df(spark, rows1))
+
+    suite = RuleSuite(
+        "t",
+        [Rule("v_not_null", "not_null", ("v",))],
+        partition_by="grp",
+        key_cols=("v",),
+    )
+
+    # first attempt dies after p0/p1
+    attempt1 = read_source(spark, t, snapshot_id=s1).filter(
+        F.col("grp").isin(["p0", "p1"])
+    )
+    st1 = run_with_ledger(attempt1, suite, out, snapshot_id=str(s1), rule_version="r1")
+    assert st1 == {"partitions_done_before": 0, "partitions_validated": 2}
+
+    # the table moves on: a new partition p9 arrives in snapshot s2
+    s2 = snapstore.append(t, _df(spark, [("p9", None)] * 5))
+
+    # resume PINNED to s1: p2/p3 complete, p9 (s2-only) is invisible
+    st2 = run_with_ledger(
+        read_source(spark, t, snapshot_id=s1),
+        suite,
+        out,
+        snapshot_id=str(s1),
+        rule_version="r1",
+    )
+    assert st2 == {"partitions_done_before": 2, "partitions_validated": 2}
+    verdicts = spark.read.parquet(out + "/verdicts")
+    assert verdicts.filter(F.col("partition") == "p9").count() == 0
+
+    # validating s2 under its own snapshot id picks up all 5 partitions
+    st3 = run_with_ledger(
+        read_source(spark, t, snapshot_id=s2),
+        suite,
+        out,
+        snapshot_id=str(s2),
+        rule_version="r1",
+    )
+    assert st3 == {"partitions_done_before": 0, "partitions_validated": 5}
+    v9 = spark.read.parquet(out + "/verdicts").filter(F.col("partition") == "p9")
+    assert v9.count() == 1 and v9.collect()[0].n_violations == 5
