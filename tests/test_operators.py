@@ -598,3 +598,64 @@ def test_unpersist_intermediates_releases_dedup_caches(spark):
     dedup.minhash_near_duplicates(df, "text", "doc_id").count()
     assert dedup.unpersist_intermediates() >= 2  # sig + shingles at minimum
     assert dedup._PERSISTED == []
+
+
+def test_neardup_separation_on_mutation_tiers(spark):
+    """Round-2 builder residual: the templated testdata corpus separates
+    weakly (near-dup thresholds pass trivially). Plant a corpus with known
+    mutation-distance tiers — 2% word replacement (strong near-dup), 20%
+    (moderate), disjoint vocabulary (unrelated) — and assert the operators
+    are measurably SELECTIVE: signature distances must be ordered by
+    mutation distance with a wide margin, and pair emission must include
+    the near tier while excluding unrelated docs (pairs << n^2)."""
+    from data_validator_guard_spark.operators.dedup import (
+        hamming_distance,
+        minhash_near_duplicates,
+        simhash64,
+    )
+
+    def doc(i):
+        return [f"w{i}x{j}" for j in range(200)]
+
+    def mutate(words, every, salt):
+        return [
+            (f"mut{salt}y{j}" if j % every == 0 else w)
+            for j, w in enumerate(words)
+        ]
+
+    rows = []
+    n_base = 12
+    for i in range(n_base):
+        w = doc(i)
+        rows.append((i * 10, " ".join(w)))                       # base
+        rows.append((i * 10 + 1, " ".join(mutate(w, 50, i))))    # 2% tier
+        rows.append((i * 10 + 2, " ".join(mutate(w, 5, i))))     # 20% tier
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sig = {r.id: r.simhash for r in simhash64(df, "text", "doc_id").collect()}
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(sig[a], sig[b]))
+
+    near = [ham(i * 10, i * 10 + 1) for i in range(n_base)]
+    mid = [ham(i * 10, i * 10 + 2) for i in range(n_base)]
+    far = [
+        ham(i * 10, j * 10) for i in range(n_base) for j in range(n_base) if i < j
+    ]
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean(near) < mean(mid) < mean(far), (mean(near), mean(mid), mean(far))
+    # wide margins: 2% mutants are bandable (<= 8), unrelated docs are far
+    assert mean(near) <= 8, f"2% tier not bandable: {near}"
+    assert mean(far) >= 20, f"unrelated docs too close: {mean(far)}"
+
+    # MinHash pair emission: near tier IN, unrelated pairs OUT
+    pairs = {
+        (r.id1, r.id2)
+        for r in minhash_near_duplicates(
+            df, "text", "doc_id", k=8, bands=4, n=3, threshold=0.5
+        ).collect()
+    }
+    found_near = sum((i * 10, i * 10 + 1) in pairs for i in range(n_base))
+    assert found_near >= n_base - 2, f"missed near-dups: {found_near}/{n_base}"
+    cross = [p for p in pairs if p[0] // 10 != p[1] // 10]
+    assert cross == [], f"unrelated docs paired: {cross[:5]}"
