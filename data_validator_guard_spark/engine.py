@@ -687,6 +687,50 @@ def validate(
         "n_rows",
         F.coalesce(F.col("nv"), F.col("__w"), F.lit(0)).cast("bigint").alias("n_violations"),
     )
+
+    # ---- gated execution (depends_on): per partition, a rule whose
+    # (transitive) dependency FAILED is skipped — verdict keeps n_rows but
+    # reports pass=NULL / n_violations=NULL, and its violation rows are
+    # anti-joined away. Mirrors the reference's skip of rule 1 when general
+    # validation fails (maganamed.py:107-109). Suites without depends_on take
+    # none of this: schema and plan are byte-identical to before. The skip set
+    # derives from the PRE-gating verdicts (so a chain A→B→C resolves via the
+    # closure, not iteration) and costs one extra execution of the totals
+    # subplan — paid only by dependency-declaring suites.
+    closure = suite.dependency_closure()
+    if closure:
+        dep_ids = sorted({d for deps in closure.values() for d in deps})
+        failed = verdicts.filter(
+            F.col("rule_id").isin(dep_ids) & ~F.col("pass")
+        ).select(F.col("rule_id").alias("__dep"), "partition")
+        edges = spark.createDataFrame(
+            [(rid, d) for rid, deps in closure.items() for d in sorted(deps)],
+            "rule_id string, __dep string",
+        )
+        skipped = (
+            F.broadcast(edges)
+            .join(failed, "__dep")
+            .select("rule_id", "partition")
+            .distinct()
+            .withColumn("__skip", F.lit(True))
+        )
+        verdicts = (
+            verdicts.join(F.broadcast(skipped), ["rule_id", "partition"], "left")
+            .select(
+                "rule_id",
+                "partition",
+                F.when(F.col("__skip"), F.lit(None).cast("boolean"))
+                .otherwise(F.col("pass"))
+                .alias("pass"),
+                "n_rows",
+                F.when(F.col("__skip"), F.lit(None).cast("bigint"))
+                .otherwise(F.col("n_violations"))
+                .alias("n_violations"),
+            )
+        )
+        violations = violations.join(
+            F.broadcast(skipped.drop("__skip")), ["rule_id", "partition"], "left_anti"
+        )
     return verdicts, violations
 
 

@@ -2971,6 +2971,66 @@ def q_verdicts_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# 51b. Gated execution (depends_on): the reference skips rule 1 when
+#     general validation fails (maganamed.py:107-109). Here the edge is
+#     declarative and PER-PARTITION: `not_src3` fails exactly in the
+#     src3 partition, so `lang_fk` is skipped there (pass/n_violations
+#     NULL); `lang_pattern` depends on `lang_fk`, so the transitive
+#     closure skips it wherever not_src3 failed OR lang_fk failed.
+# =====================================================================
+@query(
+    "verdicts_gated",
+    oracle="""
+WITH g AS (
+  SELECT source AS part, COUNT(*) AS n_rows,
+         SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS v1,
+         SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS v2,
+         SUM(CASE WHEN lang IS NULL OR NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS v3
+  FROM documents GROUP BY source
+)
+SELECT 'not_src3' AS rule_id, part AS "partition", v1 = 0 AS pass,
+       CAST(n_rows AS BIGINT) AS n_rows, CAST(v1 AS BIGINT) AS n_violations
+FROM g
+UNION ALL
+SELECT 'lang_fk', part, CASE WHEN v1 > 0 THEN NULL ELSE v2 = 0 END,
+       CAST(n_rows AS BIGINT),
+       CASE WHEN v1 > 0 THEN NULL ELSE CAST(v2 AS BIGINT) END
+FROM g
+UNION ALL
+SELECT 'lang_pattern', part, CASE WHEN v1 > 0 OR v2 > 0 THEN NULL ELSE v3 = 0 END,
+       CAST(n_rows AS BIGINT),
+       CASE WHEN v1 > 0 OR v2 > 0 THEN NULL ELSE CAST(v3 AS BIGINT) END
+FROM g
+""",
+)
+def q_verdicts_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    dim = spark.createDataFrame([(l,) for l in ALLOWED_DOC_LANGS], "lang string")
+    suite = RuleSuite(
+        name="documents_gated",
+        rules=[
+            Rule("not_src3", "cross_column", (), {"expr": "source <> 'src3'"}),
+            Rule(
+                "lang_fk",
+                "foreign_key",
+                ("lang",),
+                {"dim": dim, "depends_on": ("not_src3",)},
+            ),
+            Rule(
+                "lang_pattern",
+                "regex_match",
+                ("lang",),
+                {"pattern": LANG_PATTERN, "depends_on": ("lang_fk",)},
+            ),
+        ],
+        partition_by="source",
+        key_cols=("doc_id",),
+    )
+    verdicts, _ = validate(docs, suite)
+    return verdicts
+
+
+# =====================================================================
 # 52. Exact z-score outliers: |x - mean| > 3*std decided entirely in
 #     integer/decimal arithmetic. With q = quantize(x), S = Σq, SS = Σq²,
 #     n rows:  |x−mean| > 3σ  ⇔  (n·q − S)² > 9·(n·SS − S²)  — no float

@@ -58,6 +58,15 @@ expression restricting the check to matching rows ("if status='active' then
 email not null"). The guard fuses into the same scan; non-applicable rows are
 never violations. The reference expresses this with hard-coded pre-filters
 (the clinician exclusion, `auxiliar_functions.py:47-52`).
+
+Every rule also accepts ``params["depends_on"]`` — a sequence of rule_ids in
+the same suite. Per PARTITION, if any (transitively) depended-on rule failed,
+the dependent rule is SKIPPED there: its verdict keeps the partition's
+``n_rows`` but reports ``pass = NULL`` / ``n_violations = NULL``, and its
+violation rows for that partition are suppressed. This is the reference's
+gated execution — `maganamed.py:107-109` skips rule 1 when general validation
+fails — promoted from a caller-side ``if`` to a declarative edge. The suite
+rejects unknown ids and cycles at definition time.
 """
 
 from __future__ import annotations
@@ -175,3 +184,46 @@ class RuleSuite:
             if r.rule_id in seen:
                 raise ValueError(f"duplicate rule_id {r.rule_id!r} in suite {self.name!r}")
             seen.add(r.rule_id)
+        # depends_on graph: every edge must name a rule in this suite and the
+        # graph must be acyclic — both checked here so a bad rulebook fails at
+        # definition time, not at plan compilation.
+        for r in self.rules:
+            for dep in r.params.get("depends_on", ()):
+                if dep not in seen:
+                    raise ValueError(
+                        f"rule {r.rule_id!r} depends_on unknown rule {dep!r} "
+                        f"in suite {self.name!r}"
+                    )
+                if dep == r.rule_id:
+                    raise ValueError(f"rule {r.rule_id!r} depends_on itself")
+        self.dependency_closure()  # raises on cycles
+
+    def dependency_closure(self) -> dict[str, frozenset[str]]:
+        """Transitive ``depends_on`` closure per rule (empty mapping when no
+        rule declares dependencies). A rule is skipped in a partition iff any
+        rule in its closure FAILED there — closure (not direct edges) makes
+        chains behave: A fails → B (on A) skipped → C (on B) also skipped,
+        because A is in C's closure. Raises ``ValueError`` on a cycle."""
+        direct = {
+            r.rule_id: tuple(r.params.get("depends_on", ())) for r in self.rules
+        }
+        closure: dict[str, frozenset[str]] = {}
+
+        def visit(rid: str, stack: tuple[str, ...]) -> frozenset[str]:
+            if rid in stack:
+                raise ValueError(
+                    f"depends_on cycle in suite {self.name!r}: "
+                    f"{' -> '.join(stack + (rid,))}"
+                )
+            if rid in closure:
+                return closure[rid]
+            acc: set[str] = set()
+            for dep in direct[rid]:
+                acc.add(dep)
+                acc |= visit(dep, stack + (rid,))
+            closure[rid] = frozenset(acc)
+            return closure[rid]
+
+        for rid in direct:
+            visit(rid, ())
+        return {rid: deps for rid, deps in closure.items() if deps}

@@ -465,3 +465,80 @@ def test_rule_param_validation_fails_at_definition_time(spark):
         Rule("r", "join_consistency", ("a",), {"other": None})
     # min_max legitimately allows one-sided bounds
     Rule("ok", "min_max", ("a",), {"lo": 0})
+
+
+def test_depends_on_gated_execution(spark):
+    """Per-partition skip: a rule whose dependency failed reports pass=NULL /
+    n_violations=NULL and emits no violation rows there; chains propagate via
+    the transitive closure (A fails -> B skipped -> C skipped too)."""
+    df = spark.createDataFrame(
+        [
+            # partition p1: gate fails (x=0 present) -> b and c skipped
+            (1, "p1", 0, None),
+            (2, "p1", 1, "ok"),
+            # partition p2: gate passes, b FAILS (null v) -> c skipped via b
+            (3, "p2", 1, None),
+            (4, "p2", 1, "ok"),
+            # partition p3: everything passes -> c evaluated (and fails on 'BAD')
+            (5, "p3", 1, "BAD"),
+        ],
+        "id long, part string, x int, v string",
+    )
+    suite = RuleSuite(
+        name="gated",
+        rules=[
+            Rule("gate", "cross_column", (), {"expr": "x > 0"}),
+            Rule("b_not_null", "not_null", ("v",), {"depends_on": ("gate",)}),
+            Rule(
+                "c_lower",
+                "regex_match",
+                ("v",),
+                {"pattern": "^[a-z]+$", "depends_on": ("b_not_null",)},
+            ),
+        ],
+        partition_by="part",
+        key_cols=("id",),
+    )
+    verdicts, violations = validate(df, suite, persist_violations=False)
+    v = {(r.rule_id, r.partition): r for r in verdicts.collect()}
+    assert v[("gate", "p1")]["pass"] is False
+    assert v[("b_not_null", "p1")]["pass"] is None
+    assert v[("b_not_null", "p1")].n_violations is None
+    assert v[("c_lower", "p1")]["pass"] is None  # closure: gate in c's closure
+    assert v[("gate", "p2")]["pass"] is True
+    assert v[("b_not_null", "p2")]["pass"] is False
+    assert v[("c_lower", "p2")]["pass"] is None  # b failed -> c skipped
+    assert v[("gate", "p3")]["pass"] is True
+    assert v[("b_not_null", "p3")]["pass"] is True
+    assert v[("c_lower", "p3")]["pass"] is False  # evaluated, 'BAD' violates
+    # n_rows untouched by skipping
+    assert v[("b_not_null", "p1")].n_rows == 2
+    # violations for skipped (rule, partition) pairs are suppressed
+    viol = [(r.rule_id, r.partition) for r in violations.collect()]
+    assert ("gate", "p1") in viol
+    assert ("b_not_null", "p2") in viol
+    assert ("c_lower", "p3") in viol
+    assert ("b_not_null", "p1") not in viol
+    assert ("c_lower", "p1") not in viol
+    assert ("c_lower", "p2") not in viol
+
+
+def test_depends_on_validation_at_definition_time():
+    with pytest.raises(ValueError, match="unknown rule"):
+        RuleSuite(
+            name="bad",
+            rules=[Rule("a", "cross_column", (), {"expr": "1=1", "depends_on": ("nope",)})],
+        )
+    with pytest.raises(ValueError, match="depends_on itself"):
+        RuleSuite(
+            name="selfdep",
+            rules=[Rule("a", "cross_column", (), {"expr": "1=1", "depends_on": ("a",)})],
+        )
+    with pytest.raises(ValueError, match="cycle"):
+        RuleSuite(
+            name="cyc",
+            rules=[
+                Rule("a", "cross_column", (), {"expr": "1=1", "depends_on": ("b",)}),
+                Rule("b", "cross_column", (), {"expr": "1=1", "depends_on": ("a",)}),
+            ],
+        )

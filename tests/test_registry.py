@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from data_validator_guard_spark.queries import ORACLES, QUERIES
 
 
@@ -58,8 +60,12 @@ def test_read_source_parquet_fallback(spark, tmp_path):
 
     p = str(tmp_path / "t.parquet")
     spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p)
-    got = read_source(spark, p, snapshot_id="snap1").collect()
+    got = read_source(spark, p).collect()
     assert [(r.id, r.v) for r in got] == [(1, "a")]
+    # a pinned read over mutable plain parquet would silently NOT be pinned —
+    # read_source refuses rather than pretending (snapstore/Iceberg required)
+    with pytest.raises(ValueError, match="snapshot_id requires"):
+        read_source(spark, p, snapshot_id="snap1")
 
 
 def test_detect_encoding_bom_and_fallback(spark, tmp_path):
