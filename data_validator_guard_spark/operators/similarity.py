@@ -263,6 +263,22 @@ def _assign_to_centroids(qframe: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _quantized_frame(
+    corpus: DataFrame, vec_col: str, id_col: str, scale: int, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """Quantize the corpus ONCE and persist it (dedup's tracked registry, so
+    ``unpersist_intermediates`` releases it): seed selection, every Lloyd
+    iteration and the final assignment all read this frame instead of
+    re-scanning the source — at 100 TB the quantized projection is the only
+    thing the k-means build should touch more than once."""
+    from data_validator_guard_spark.operators.dedup import _quantize, _track_persist
+
+    cols = [F.col(id_col).alias("id")]
+    cols += [F.col(c).alias(a) for c, a in extra]
+    cols.append(_quantize(F.col(vec_col), scale).alias("__qv"))
+    return _track_persist(corpus.select(*cols))
+
+
 def ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -270,16 +286,18 @@ def ivf_centroids(
     n_clusters: int = 8,
     iters: int = 1,
     scale: int = 1000,
+    _q: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic integer k-means centroids: ``centroid_id, __cv``
     (array<long>). Seeds = n_clusters smallest md5(id) (TakeOrdered — never a
     global single-partition sort); ``iters`` Lloyd refinements with
     floor(sum/count) coordinate updates; a cell that loses every member keeps
-    its previous centroid."""
-    from data_validator_guard_spark.operators.dedup import _quantize
-
-    q = corpus.select(
-        F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("__qv")
+    its previous centroid. ``_q`` lets callers that already hold the persisted
+    quantized frame share it (ivf_assignments/ivf_topk)."""
+    q = (
+        _q.select("id", "__qv")
+        if _q is not None
+        else _quantized_frame(corpus, vec_col, id_col, scale)
     )
     seeds = (
         q.select(F.md5(F.col("id").cast("string")).alias("__h"), "__qv")
@@ -334,12 +352,8 @@ def ivf_assignments(
     """Final cell assignment per corpus vector: ``id_col, centroid_id`` —
     the index-build output a 100-TB deployment would persist (bucketed by
     centroid_id) so searches only read their probe cells."""
-    from data_validator_guard_spark.operators.dedup import _quantize
-
-    cents = ivf_centroids(corpus, vec_col, id_col, n_clusters, iters, scale)
-    q = corpus.select(
-        F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("__qv")
-    )
+    q = _quantized_frame(corpus, vec_col, id_col, scale)
+    cents = ivf_centroids(corpus, vec_col, id_col, n_clusters, iters, scale, _q=q)
     return _assign_to_centroids(q, cents).select(
         F.col("id").alias(id_col), F.col("centroid_id").cast("bigint").alias("centroid_id")
     )
@@ -362,12 +376,10 @@ def ivf_topk(
     recall < 1 only through cell selection, identically in any engine."""
     from data_validator_guard_spark.operators.dedup import _quantize
 
-    cents = ivf_centroids(corpus, vec_col, id_col, n_clusters, iters, scale)
-    c = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("__cv_orig"),
-        _quantize(F.col(vec_col), scale).alias("__qv"),
+    c = _quantized_frame(
+        corpus, vec_col, id_col, scale, extra=((vec_col, "__cv_orig"),)
     )
+    cents = ivf_centroids(corpus, vec_col, id_col, n_clusters, iters, scale, _q=c)
     assigned = _assign_to_centroids(c, cents)
     corpus_cells = c.join(assigned, "id").select(
         F.col("id").alias("neighbor_id"), "__cv_orig", "centroid_id"
