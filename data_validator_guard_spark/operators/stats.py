@@ -172,3 +172,70 @@ def merge_column_stats(partials: DataFrame) -> DataFrame:
             F.sum("sum_len").alias("sum_len"),
         )
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, percentiles: tuple[int, ...] = (50, 90, 99)
+) -> DataFrame:
+    """One-row skew diagnostic for a join/aggregation key — the measurement
+    behind every "salt this key" / "AQE will split this partition" decision
+    the engine makes (north rule: skew handled EXPLICITLY, so it must be
+    observable, not guessed).
+
+    Returns ``n_keys, n_rows, max_count, p{k}_count..., top_key,
+    skew_ratio`` where ``p{k}_count`` is the exact discrete percentile of
+    per-key row counts (smallest count whose cumulative key-frequency reaches
+    ``ceil(k% * n_keys)`` — integer arithmetic, no float boundary) and
+    ``skew_ratio = max_count * n_keys / n_rows`` (max/mean; 1.0 = uniform) as
+    a single IEEE division.
+
+    Shape at scale: one shuffle to count keys; percentiles come from the
+    count-OF-counts histogram (distinct multiplicity values — bounded and
+    tiny even at 10^12 rows), never a global sort of the keys; top key via
+    TakeOrdered. The skewed-key check in `tests/test_operators.py` pins the
+    hot-key case.
+    """
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    counts = df.groupBy(key.alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_count"),
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("k").asc())
+        .limit(1)
+        .select(F.col("k").cast("string").alias("top_key"))
+    )
+    hist = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("freq"))
+    wcum = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select("cnt", F.sum("freq").over(wcum).alias("cf"))
+    withn = cum.crossJoin(F.broadcast(totals.select("n_keys")))
+    percs = withn.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cf") >= F.floor((F.lit(k) * F.col("n_keys") + 99) / 100),
+                    F.col("cnt"),
+                )
+            ).alias(f"p{k}_count")
+            for k in percentiles
+        ]
+    )
+    return (
+        totals.crossJoin(F.broadcast(percs))
+        .crossJoin(F.broadcast(top))
+        .select(
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("max_count").cast("bigint").alias("max_count"),
+            *[F.col(f"p{k}_count").cast("bigint").alias(f"p{k}_count") for k in percentiles],
+            "top_key",
+            (
+                (F.col("max_count") * F.col("n_keys")).cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("skew_ratio"),
+        )
+    )

@@ -4121,3 +4121,104 @@ def q_full_rule_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verdicts, _ = validate(docs, suite)
     return verdicts
+
+
+# =====================================================================
+# 61. Sequence packing (concat-and-chunk, LLM pretraining layout): docs
+#     hash-sharded, ordered by a portable hash inside the shard, bin
+#     span a pure function of the cumulative token offset — per-shard
+#     parallel, zero cross-shard coordination, exact-integer outputs.
+# =====================================================================
+_PACK_BASE_SQL = r"""
+  SELECT doc_id,
+         (((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) % 8 AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+"""
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+WITH b AS ({_PACK_BASE_SQL}),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM b
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS first_bin,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 END AS BIGINT) AS n_bins
+FROM c
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", ctx_len=512, n_shards=8
+    )
+
+
+@query(
+    "packing_summary",
+    oracle=f"""
+WITH b AS ({_PACK_BASE_SQL})
+SELECT CAST(shard AS BIGINT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((SUM(n_tokens) + 511) // 512 AS BIGINT) AS n_windows,
+       CAST((SUM(n_tokens) + 511) // 512 * 512 - SUM(n_tokens) AS BIGINT) AS waste_tokens
+FROM b GROUP BY shard
+""",
+)
+def q_packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.packing import pack_sequences, packing_summary
+
+    packed = pack_sequences(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", ctx_len=512, n_shards=8
+    )
+    return packing_summary(packed, ctx_len=512)
+
+
+# =====================================================================
+# 62. Key-skew diagnostic: the observable behind every salting / AQE
+#     decision. Exact discrete percentiles of per-key counts from the
+#     count-of-counts histogram (never a global key sort); hottest key
+#     via TakeOrdered; max/mean ratio as ONE IEEE division.
+# =====================================================================
+@query(
+    "key_skew_events",
+    oracle="""
+WITH c AS (SELECT user_id AS k, COUNT(*) AS cnt FROM events GROUP BY user_id),
+t AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             MAX(cnt) AS max_count FROM c),
+h AS (SELECT cnt, COUNT(*) AS freq FROM c GROUP BY cnt),
+cum AS (SELECT cnt, SUM(freq) OVER (ORDER BY cnt
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf FROM h),
+p AS (SELECT
+        MIN(CASE WHEN cf >= (50 * t.n_keys + 99) // 100 THEN cnt END) AS p50_count,
+        MIN(CASE WHEN cf >= (90 * t.n_keys + 99) // 100 THEN cnt END) AS p90_count,
+        MIN(CASE WHEN cf >= (99 * t.n_keys + 99) // 100 THEN cnt END) AS p99_count
+      FROM cum, t),
+top AS (SELECT CAST(k AS VARCHAR) AS top_key FROM c ORDER BY cnt DESC, k ASC LIMIT 1)
+SELECT CAST(t.n_keys AS BIGINT) AS n_keys, t.n_rows,
+       CAST(t.max_count AS BIGINT) AS max_count,
+       CAST(p.p50_count AS BIGINT) AS p50_count,
+       CAST(p.p90_count AS BIGINT) AS p90_count,
+       CAST(p.p99_count AS BIGINT) AS p99_count,
+       top.top_key,
+       CAST(t.max_count * t.n_keys AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS skew_ratio
+FROM t, p, top
+""",
+)
+def q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.stats import key_skew_profile
+
+    return key_skew_profile(read_table(spark, sf_dir, "events"), "user_id")

@@ -659,3 +659,93 @@ def test_neardup_separation_on_mutation_tiers(spark):
     assert found_near >= n_base - 2, f"missed near-dups: {found_near}/{n_base}"
     cross = [p for p in pairs if p[0] // 10 != p[1] // 10]
     assert cross == [], f"unrelated docs paired: {cross[:5]}"
+
+
+def test_key_skew_profile_hot_key(spark):
+    """Planted 80/20 hot key: max_count, exact percentiles and the max/mean
+    ratio all reflect the skew; top_key is the hot key."""
+    from data_validator_guard_spark.operators.stats import key_skew_profile
+
+    rows = [("hot",)] * 80 + [(f"k{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r.n_keys == 21 and r.n_rows == 100 and r.max_count == 80
+    # 20 keys have count 1, one has 80: p50/p90 = 1 (ceil(.5*21)=11th,
+    # ceil(.9*21)=19th of sorted counts), p99 = 80 (ceil(.99*21)=21st)
+    assert r.p50_count == 1 and r.p90_count == 1 and r.p99_count == 80
+    assert r.top_key == "hot"
+    assert abs(r.skew_ratio - 80 * 21 / 100) < 1e-12
+
+
+def test_pack_sequences_offsets_contiguous(spark):
+    """Within a shard, start offsets are the running sum of token counts in
+    (hash, id) order; bin spans follow exactly; empty docs span 0 bins."""
+    from data_validator_guard_spark.operators.packing import (
+        pack_sequences,
+        packing_summary,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 7) if i % 11 else "") for i in range(200)],
+        "doc_id long, text string",
+    )
+    packed = pack_sequences(docs, "text", "doc_id", ctx_len=10, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4)) and len(by_shard) > 1
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.start_offset)
+        off = 0
+        for r in rows:
+            assert r.start_offset == off
+            assert r.first_bin == off // 10
+            if r.n_tokens == 0:
+                assert r.n_bins == 0
+            else:
+                assert r.n_bins == (off + r.n_tokens - 1) // 10 - off // 10 + 1
+            off += r.n_tokens
+    summary = packing_summary(
+        pack_sequences(docs, "text", "doc_id", ctx_len=10, n_shards=4), 10
+    ).collect()
+    for s in summary:
+        exp = sum(r.n_tokens for r in by_shard[s.shard])
+        assert s.total_tokens == exp
+        assert s.n_windows == (exp + 9) // 10
+        assert s.waste_tokens == s.n_windows * 10 - exp
+
+
+def test_pack_sequences_growth_stability(spark):
+    """Corpus growth never reshards an existing document and never reorders
+    existing documents within a shard (hash order is data-independent) — so
+    incremental re-packing shifts offsets only where insertions land, the
+    property that makes packing maintainable at 10^12 docs."""
+    from data_validator_guard_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(100)], "doc_id long, text string"
+    )
+    base = {
+        r.doc_id: (r.shard, r.start_offset)
+        for r in pack_sequences(docs, "text", "doc_id", 16, 4).collect()
+    }
+    more = spark.createDataFrame(
+        [(1000 + i, "delta epsilon") for i in range(50)], "doc_id long, text string"
+    )
+    grown_rows = pack_sequences(docs.unionByName(more), "text", "doc_id", 16, 4).collect()
+    grown = {r.doc_id: (r.shard, r.start_offset) for r in grown_rows}
+    # shard assignment of existing docs is untouched by growth
+    for d, (shard, _off) in base.items():
+        assert grown[d][0] == shard
+    # relative order of existing docs within each shard is preserved
+    for shard in range(4):
+        old_order = sorted(
+            (d for d in base if base[d][0] == shard), key=lambda d: base[d][1]
+        )
+        new_order = sorted(
+            (d for d in old_order), key=lambda d: grown[d][1]
+        )
+        assert new_order == old_order
+        # offsets only ever move right (insertions add tokens before a doc)
+        for d in old_order:
+            assert grown[d][1] >= base[d][1]
