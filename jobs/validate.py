@@ -63,7 +63,22 @@ def main(argv: list[str] | None = None) -> int:
         baseline_hist=baseline,
         partition_by=f"pmod(xxhash64(repo), {args.partitions})",
     )
-    df = read_source(spark, args.input, snapshot_id=args.snapshot_id)
+    # Pin the read only where the source can honor it (snapstore/Iceberg).
+    # Plain parquet is immutable-by-convention: the snapshot id still goes to
+    # the ledger as lineage, but pretending the READ is pinned would be the
+    # silent-unpinned bug read_source refuses — so say it out loud instead.
+    from data_validator_guard_spark.sources import snapstore
+
+    if os.path.isdir(args.input) and snapstore.is_snapstore(args.input):
+        df = read_source(spark, args.input, snapshot_id=args.snapshot_id)
+    else:
+        print(
+            f"WARNING: {args.input} is not a snapstore/Iceberg table; "
+            f"snapshot-id {args.snapshot_id!r} is recorded as ledger lineage "
+            "only — the read itself is NOT pinned",
+            file=sys.stderr,
+        )
+        df = read_source(spark, args.input)
     t0 = time.time()
     stats = run_with_ledger(
         df,

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 
 def test_curate_pipeline_end_to_end(spark, tmp_path):
     """filter -> dedup -> split -> decontaminate -> chunk over sf0.001 docs:
@@ -119,3 +121,65 @@ def test_curation_disposition_labels(spark):
         r["doc_id"]: r["disposition"] for r in curation_disposition(solo).collect()
     }
     assert without_eval[int(train_id)] == "train"
+
+
+def test_spark_submit_py_files_validate(spark, tmp_path):
+    """The north-rule packaging contract, for real: build dist/dvg.zip, then
+    run jobs/validate.py through an actual ``spark-submit --py-files`` in a
+    separate JVM, from a cwd where the repo checkout is NOT importable — the
+    job's imports must come from the zip. Asserts the run emits its stats
+    JSON and writes verdicts/violations/ledger parquet."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    import pyspark
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run([sys.executable, os.path.join(root, "tools", "package.py")], check=True)
+    zip_path = os.path.join(root, "dist", "dvg.zip")
+    assert os.path.exists(zip_path)
+
+    inp = str(tmp_path / "code.parquet")
+    spark.createDataFrame(
+        [
+            (f"org/repo{i % 3}", f"src/f{i}.py", f"c{i:04x}", "python", f"print({i})\n")
+            for i in range(200)
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    ).write.parquet(inp)
+
+    # copy the job file out of the repo so its repo-checkout fallback cannot
+    # fire — only --py-files can satisfy the package import
+    job = str(tmp_path / "validate_job.py")
+    shutil.copyfile(os.path.join(root, "jobs", "validate.py"), job)
+    out = str(tmp_path / "out")
+    submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    proc = subprocess.run(
+        [
+            submit,
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", zip_path,
+            job,
+            "--input", inp,
+            "--out", out,
+            "--snapshot-id", "snap-test",
+            "--partitions", "4",
+            "--n-salts", "4",
+        ],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    stats_line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    stats = json.loads(stats_line)
+    assert stats["partitions_validated"] >= 1 and stats["partitions_done_before"] == 0
+    for sub in ("verdicts", "violations", "ledger"):
+        assert os.path.isdir(os.path.join(out, sub)), sub
+    got = spark.read.parquet(os.path.join(out, "verdicts"))
+    assert got.count() > 0
