@@ -9,8 +9,9 @@ job resumes from the last committed batch).
 """
 
 from data_validator_guard_spark.streaming.incremental import (
+    dedup_stream,
     validate_stream,
     windowed_event_counts,
 )
 
-__all__ = ["validate_stream", "windowed_event_counts"]
+__all__ = ["dedup_stream", "validate_stream", "windowed_event_counts"]

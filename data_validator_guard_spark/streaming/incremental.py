@@ -131,3 +131,24 @@ def running_verdicts_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival per key wins; later arrivals of
+    the same key are dropped as long as they land within ``watermark`` of the
+    stream's event-time frontier. ``dropDuplicatesWithinWatermark`` keeps key
+    state only inside the watermark horizon, so state is bounded by the
+    arrival-skew window — not by total corpus cardinality — which is what
+    makes exact streaming dedup viable at 10^12-file scale (the batch
+    ``dedup_exact`` handles the unbounded-history case; this handles the
+    continuously-arriving case). The dedup state lives in the checkpointed
+    state store: a restarted query still drops duplicates of keys it saw
+    before the restart (pinned by the restart test)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

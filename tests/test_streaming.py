@@ -208,3 +208,43 @@ def test_stream_with_plan_level_rules(spark, tmp_path):
     got = {r.rule_id: (r["pass"], r.n_violations) for r in v.collect()}
     assert got["v_unique"][0] is False and got["v_unique"][1] > 0
     assert got["v_drift"] == (True, 0)  # same data as baseline -> no drift
+
+
+def test_dedup_stream_drops_duplicates_across_restart(spark, tmp_path):
+    """Streaming exact dedup: in-batch and cross-file duplicates collapse to
+    first-arrival; after a checkpointed restart, a duplicate of a key seen
+    BEFORE the restart is still dropped (state survives in the store)."""
+    from data_validator_guard_spark.streaming import dedup_stream
+
+    schema = "k string, ts timestamp"
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = os.path.join(out, "_ck")
+    t = "2026-01-01 12:00:00"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        deduped = dedup_stream(stream, ("k",), "ts", "1 hour")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", os.path.join(out, "rows"))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def batch(rows):
+        spark.createDataFrame(
+            [(k, ts) for k, ts in rows], "k string, ts string"
+        ).select(F.col("k"), F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+
+    batch([("a", t), ("a", t), ("b", t)])  # in-batch duplicate
+    drain()
+    batch([("a", t), ("c", t)])  # cross-restart duplicate of a
+    drain()
+
+    got = sorted(r.k for r in spark.read.parquet(os.path.join(out, "rows")).collect())
+    assert got == ["a", "b", "c"]
