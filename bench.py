@@ -189,8 +189,10 @@ def main() -> None:
         hv_legs.append(time.perf_counter() - t0)
     hv_sec = min(hv_legs)
     hv_n = hv_violations.count()
-    timings["validate_synth_hiviol"] = round(hv_sec, 3)
 
+    # The hv leg is reported ONLY via the hiviol_* fields below: folding it
+    # into `timings` would change what the headline `value` (sum of timings)
+    # measures and break cross-round comparability of the metric label.
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline queries + full-suite validation wall time",
@@ -203,6 +205,7 @@ def main() -> None:
         "validated_rows_per_sec": round(SYNTH_ROWS / validate_sec, 1),
         "violations": n_violations,
         "violations_per_sec": round(n_violations / validate_sec, 1),
+        "hiviol_sec": round(hv_sec, 3),
         "validate_synth_hiviol_legs": [round(x, 3) for x in hv_legs],
         "hiviol_validated_rows_per_sec": round(SYNTH_ROWS / hv_sec, 1),
         "hiviol_violations": hv_n,

@@ -316,7 +316,17 @@ def _join_consistency_violations(
     # multiplying verdicts.
     import re as _re
 
-    expr_idents = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", p["expr"]))
+    # Tokenize only the code part of the expr: a dim column name inside a
+    # string literal or comment ("category = 'status'") is NOT a reference
+    # and must not trip the clash check. Strip '...' literals (with ''
+    # escapes), "..." literals, -- line comments and /* */ blocks first.
+    # (A clash column used as an ANSI double-quoted identifier is stripped
+    # too — that case still fails loudly, at analysis time, as ambiguous.)
+    _code = _re.sub(r"'(?:[^']|'')*'", " ", p["expr"])
+    _code = _re.sub(r'"(?:[^"\\]|\\.)*"', " ", _code)
+    _code = _re.sub(r"/\*.*?\*/", " ", _code, flags=_re.S)
+    _code = _re.sub(r"--[^\n]*", " ", _code)
+    expr_idents = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", _code))
     extra_cols = [c for c in other.columns if c not in on]
     clash = [c for c in extra_cols if c in df.columns]
     referenced_clash = [c for c in clash if c in expr_idents]

@@ -45,12 +45,22 @@ DEFAULT_MAX_BUCKET = 10_000
 # Intermediates persisted by the near-dup operators, so long-lived sessions
 # can release them after the terminal action (round-2 advice: persists
 # accumulated across repeated operator calls with no cleanup hook).
+# NOTE the disk tier: MEMORY_AND_DISK blocks evicted from memory land on
+# executor DISK and are NOT LRU-evicted — a long batch job that never calls
+# unpersist_intermediates() accumulates spilled blocks until the session
+# ends. High-level entry points with a terminal action (jobs/curate.py)
+# call it; anything driving these operators in a loop must too. The registry
+# is process-global, shared across threads/sessions — guarded by a lock.
+import threading as _threading
+
 _PERSISTED: list[DataFrame] = []
+_PERSISTED_LOCK = _threading.Lock()
 
 
 def _track_persist(df: DataFrame) -> DataFrame:
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(out)
+    with _PERSISTED_LOCK:
+        _PERSISTED.append(out)
     return out
 
 
@@ -58,10 +68,14 @@ def unpersist_intermediates() -> int:
     """Unpersist every intermediate frame the dedup operators cached since
     the last call; returns how many were released. Safe to call anytime —
     results already computed are unaffected (recomputation only happens if a
-    returned frame is re-executed afterwards)."""
+    returned frame is re-executed afterwards). Thread-safe: concurrent
+    callers each release a disjoint subset."""
     n = 0
-    while _PERSISTED:
-        df = _PERSISTED.pop()
+    while True:
+        with _PERSISTED_LOCK:
+            if not _PERSISTED:
+                break
+            df = _PERSISTED.pop()
         try:
             df.unpersist()
             n += 1

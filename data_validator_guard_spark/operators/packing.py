@@ -37,6 +37,27 @@ def _hex_nibble_bucket(col, n_buckets: int):
     )
 
 
+def auto_n_shards(
+    n_rows: int,
+    avg_doc_tokens: int = 200,
+    target_shard_tokens: int = 50_000_000,
+) -> int:
+    """Shard count so each shard's window state stays bounded:
+    ``n_shards ≈ n_rows * avg_doc_tokens / target_shard_tokens`` (mirrors
+    ``auto_n_planes``, dedup.py). Each shard is ONE window partition whose
+    rows sort on a single executor — the fixed default ``n_shards=8`` that is
+    fine at sandbox scale is executor-memory-bound at 100 TB, so callers at
+    unknown scale should pass ``n_shards=auto_n_shards(df.count())`` (one
+    cheap count job). NOTE: changing the shard count changes the layout —
+    shard assignment and within-shard order are deterministic PER shard
+    count, not across shard counts; pin ``n_shards`` explicitly when two runs
+    must produce identical layouts."""
+    import math
+
+    total = max(1, n_rows) * max(1, avg_doc_tokens)
+    return max(1, math.ceil(total / target_shard_tokens))
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str = "text",
@@ -52,6 +73,10 @@ def pack_sequences(
     ``first_bin .. first_bin + n_bins - 1`` (``n_bins = 0`` for an empty
     document). ``sum(n_bins)`` over a shard bounds its padding-free window
     count; downstream slicing is a pure per-bin gather.
+
+    Contract on ``n_shards``: the default (8) suits sandbox-scale corpora
+    only — each shard sorts on one executor, so at scale derive it from
+    corpus volume via :func:`auto_n_shards` (layout-changing; see its note).
     """
     if ctx_len <= 0:
         raise ValueError(f"ctx_len must be positive, got {ctx_len}")

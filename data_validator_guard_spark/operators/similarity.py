@@ -42,6 +42,37 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def exact_sim_key(q_int: Column, c_int: Column) -> Column:
+    """Deterministic cosine rank key over integer-quantized vectors:
+    ``sign(dot) * double(dot*dot) / double(|c|²)``.
+
+    For a fixed query this orders exactly like cosine over the quantized
+    vectors (|q| is a per-query constant; cos carries dot's sign and
+    cos² = dot²/(|q|²·|c|²)). Every step is exact int64 arithmetic followed
+    by ONE IEEE int→double conversion and ONE IEEE division — bit-identical
+    in any engine, so near-equal similarities cannot reorder across engines
+    (round-3 verdict #8: float-cosine ranks with an id tiebreak were only
+    observed-deterministic, not guaranteed). Same exactness family as
+    ``embedding_near_duplicates``'s decimal cross-product (dedup.py).
+
+    Bounds: |component| ≤ ~10⁴ after scale-1000 quantization, so over
+    dim ≤ 10³ vectors dot ≤ 10¹¹ and dot² ≤ 10²² would overflow int64 —
+    at testdata dims (64) dot ≤ ~6·10⁸, dot² ≤ ~4·10¹⁷, safely exact.
+    """
+    dot = F.aggregate(
+        F.zip_with(q_int, c_int, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    na2 = F.aggregate(
+        F.transform(c_int, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    mag = (dot * dot).cast("double") / na2.cast("double")
+    return F.when(dot >= 0, mag).otherwise(-mag)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -146,21 +177,24 @@ def bucketed_topk(
     The corpus is scanned once with its bucket computed inline; the join key
     is the bucket, so comparisons drop by ~2^n_planes/(n_planes+1) vs brute
     force. The bucket is the integer-quantized sign bucket (portable); the
-    within-bucket ranking is exact cosine over the original vectors. With
-    ``multiprobe`` (default) each query also searches the n_planes buckets
-    one bit-flip away — a corpus vector lives in exactly one bucket and the
-    probe buckets are distinct, so a (query, neighbor) pair joins at most
-    once (no dedup pass needed).
+    within-bucket ranking uses the exact integer rank key over the SAME
+    quantized vectors (:func:`exact_sim_key` — near-ties cannot reorder
+    across engines). With ``multiprobe`` (default) each query also searches
+    the n_planes buckets one bit-flip away — a corpus vector lives in
+    exactly one bucket and the probe buckets are distinct, so a
+    (query, neighbor) pair joins at most once (no dedup pass needed).
     """
+    from data_validator_guard_spark.operators.dedup import _quantize
+
     qb = quantized_lsh_bucket(F.col(vec_col), n_planes)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
+        _quantize(F.col(vec_col), 1000).alias("__qq"),
         F.explode(_probe_buckets(qb, n_planes, multiprobe)).alias("__bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
+        _quantize(F.col(vec_col), 1000).alias("__cq"),
         quantized_lsh_bucket(F.col(vec_col), n_planes).alias("__bucket"),
     )
     scored = (
@@ -169,7 +203,7 @@ def bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("__sim"),
+            exact_sim_key(F.col("__qq"), F.col("__cq")).alias("__sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -228,8 +262,9 @@ def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
 #     by centroid id;
 #   - Lloyd update: per-dimension floor(sum/count) (exact while |sum| < 2^53 —
 #     at quantization scale 1000 that is ~10^9 vectors per cell);
-#   - final within-cell ranking: exact cosine over the ORIGINAL float vectors
-#     with a (similarity DESC, id ASC) total order, same as brute force.
+#   - final within-cell ranking: the exact integer rank key over the SAME
+#     quantized vectors (exact_sim_key) with a (key DESC, id ASC) total
+#     order — near-equal similarities cannot reorder across engines.
 #
 # 100-TB shape: centroids are k rows (broadcast everywhere); corpus assignment
 # is one scan + a k-way broadcast compare (no shuffle); the search shuffles
@@ -264,7 +299,7 @@ def _assign_to_centroids(qframe: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _quantized_frame(
-    corpus: DataFrame, vec_col: str, id_col: str, scale: int, extra: tuple[str, ...] = ()
+    corpus: DataFrame, vec_col: str, id_col: str, scale: int
 ) -> DataFrame:
     """Quantize the corpus ONCE and persist it (dedup's tracked registry, so
     ``unpersist_intermediates`` releases it): seed selection, every Lloyd
@@ -274,7 +309,6 @@ def _quantized_frame(
     from data_validator_guard_spark.operators.dedup import _quantize, _track_persist
 
     cols = [F.col(id_col).alias("id")]
-    cols += [F.col(c).alias(a) for c, a in extra]
     cols.append(_quantize(F.col(vec_col), scale).alias("__qv"))
     return _track_persist(corpus.select(*cols))
 
@@ -372,27 +406,25 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF ANN top-k: ``query_id, neighbor_id, rank``. Each query searches its
     ``nprobe`` nearest cells (ties by centroid id); ranking within candidates
-    is exact cosine over the original float vectors with a total order —
-    recall < 1 only through cell selection, identically in any engine."""
+    uses the exact integer rank key over the quantized vectors
+    (:func:`exact_sim_key`, total order with an id tiebreak) — recall < 1
+    only through cell selection, identically in any engine."""
     from data_validator_guard_spark.operators.dedup import _quantize
 
-    c = _quantized_frame(
-        corpus, vec_col, id_col, scale, extra=((vec_col, "__cv_orig"),)
-    )
+    c = _quantized_frame(corpus, vec_col, id_col, scale)
     cents = ivf_centroids(corpus, vec_col, id_col, n_clusters, iters, scale, _q=c)
     assigned = _assign_to_centroids(c, cents)
     corpus_cells = c.join(assigned, "id").select(
-        F.col("id").alias("neighbor_id"), "__cv_orig", "centroid_id"
+        F.col("id").alias("neighbor_id"), F.col("__qv").alias("__cq"), "centroid_id"
     )
 
     qv = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv_orig"),
         _quantize(F.col(vec_col), scale).alias("__qq"),
     )
     probe_scored = qv.crossJoin(F.broadcast(cents)).select(
         "query_id",
-        "__qv_orig",
+        "__qq",
         "centroid_id",
         _sq_l2(F.col("__qq"), F.col("__cv")).alias("__dist"),
     )
@@ -402,7 +434,7 @@ def ivf_topk(
     probes = (
         probe_scored.withColumn("__pr", F.row_number().over(wp))
         .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "__qv_orig", "centroid_id")
+        .select("query_id", "__qq", "centroid_id")
     )
     scored = (
         corpus_cells.join(F.broadcast(probes), "centroid_id")
@@ -410,7 +442,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv_orig"), F.col("__cv_orig")).alias("__sim"),
+            exact_sim_key(F.col("__qq"), F.col("__cq")).alias("__sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -713,6 +713,25 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries_df, "embedding", "vec_id", k=5)
 
 
+def _exact_key_sql(q: str, c: str) -> str:
+    """DuckDB replica of operators.similarity.exact_sim_key: exact integer
+    dot / |c|² over quantized vectors, ONE int→double conversion + ONE IEEE
+    division — the rank key is bit-identical in both engines, so near-tie
+    similarities cannot reorder (round-3 verdict #8)."""
+    dot = (
+        f"list_sum(list_transform(generate_series(1, len({q})), "
+        f"d -> {q}[d] * {c}[d]))"
+    )
+    na2 = f"list_sum(list_transform({c}, x -> x * x))"
+    return (
+        f"(CASE WHEN {dot} >= 0 THEN CAST({dot} * {dot} AS DOUBLE) / CAST({na2} AS DOUBLE) "
+        f"ELSE -(CAST({dot} * {dot} AS DOUBLE) / CAST({na2} AS DOUBLE)) END)"
+    )
+
+
+_QUANT_SQL = "list_transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+
 def _bucket_sql(vec: str, n_planes: int = 4, scale: int = 1000) -> str:
     """DuckDB replica of operators.similarity.quantized_lsh_bucket — integer
     quantization makes the sign decision exact, so the bucket is identical in
@@ -738,9 +757,10 @@ _PROBE_FLIPS = "\n".join(
 
 _BUCKETED_CTE = f"""
 WITH b AS (
-  SELECT vec_id, embedding, {_bucket_sql('embedding', _N_PLANES)} AS bucket FROM embeddings
+  SELECT vec_id, embedding, {_QUANT_SQL.format(v='embedding')} AS qiv,
+         {_bucket_sql('embedding', _N_PLANES)} AS bucket FROM embeddings
 ),
-q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+q AS (SELECT vec_id AS query_id, embedding AS qorig, qiv AS qv, bucket FROM b WHERE vec_id < 10),
 probes AS (
   SELECT query_id, qv, bucket FROM q
 {_PROBE_FLIPS}
@@ -748,7 +768,7 @@ probes AS (
 approx AS (
   SELECT p.query_id, c.vec_id AS neighbor_id,
          ROW_NUMBER() OVER (PARTITION BY p.query_id
-                            ORDER BY list_cosine_similarity(p.qv, c.embedding) DESC,
+                            ORDER BY {_exact_key_sql('p.qv', 'c.qiv')} DESC,
                                      c.vec_id) AS rank
   FROM probes p JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.query_id
 )
@@ -780,7 +800,7 @@ def q_similarity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 , exact AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          ROW_NUMBER() OVER (PARTITION BY q.query_id
-                            ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC,
+                            ORDER BY list_cosine_similarity(q.qorig, c.embedding) DESC,
                                      c.vec_id) AS rank
   FROM q JOIN embeddings c ON c.vec_id <> q.query_id
 ),
@@ -900,8 +920,8 @@ q AS (
   WHERE em.vec_id < 10
 ),
 probes AS (
-  SELECT query_id, qorig, centroid_id FROM (
-    SELECT q.query_id, q.qorig, c.centroid_id,
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
            ROW_NUMBER() OVER (PARTITION BY q.query_id
                               ORDER BY {_IVF_DIST_SQL.format(v='q.qv', c='c.cvec')},
                                        c.centroid_id) AS pr
@@ -909,12 +929,12 @@ probes AS (
   ) WHERE pr <= 3
 ),
 cells AS (
-  SELECT a1.vec_id, a1.centroid_id, em.embedding
-  FROM a1 JOIN embeddings em USING (vec_id)
+  SELECT a1.vec_id, a1.centroid_id, e.qv
+  FROM a1 JOIN e USING (vec_id)
 ),
 scored AS (
   SELECT p.query_id, cl.vec_id AS neighbor_id,
-         list_cosine_similarity(p.qorig, cl.embedding) AS sim
+         {_exact_key_sql('p.qv', 'cl.qv')} AS sim
   FROM probes p JOIN cells cl USING (centroid_id)
   WHERE cl.vec_id <> p.query_id
 ),

@@ -147,6 +147,15 @@ def read_source(
                 "files would silently NOT be pinned)"
             )
         return spark.read.parquet(source)
+    # CONTRACT NOTE — untested in this sandbox: the branch below is the
+    # production Iceberg path (``option("snapshot-id", ...).table(id)``,
+    # per the Iceberg Spark docs' time-travel read options). The sandbox
+    # ships no iceberg-spark-runtime jar and has no network to vendor one,
+    # so this exact line has never executed here; its SEMANTICS (pinned
+    # snapshot read, immutable manifests, COW merge, pinned resume) are
+    # exercised end-to-end against the snapstore double above, which was
+    # built to match them. First deployment against a real catalog should
+    # smoke-test a snapshot-pinned read before trusting resume.
     reader = spark.read
     if snapshot_id is not None:
         reader = reader.option("snapshot-id", str(snapshot_id))

@@ -130,6 +130,25 @@ def read_snapshot(
     raise ValueError(f"snapshot {snapshot_id} not found in {path}")
 
 
+DEFAULT_MAX_BROADCAST_ROWS = 1_000_000
+
+
+def _choose_broadcast(
+    source: DataFrame, broadcast: bool | None, max_broadcast_rows: int
+) -> bool:
+    """Size-aware join side selection for MERGE. ``broadcast=None`` (auto)
+    probes the source with a bounded count (stops scanning at the guard+1,
+    like the engine's inline-FK ``max_inline_values`` fail-fast,
+    engine.py:474-482): rulebook-sized sources broadcast, a large correction
+    set (the M4 fan-out at 100x can be millions of keys) takes the shuffle
+    join instead of OOMing the executors — which is what real Iceberg MERGE
+    does when the source is big."""
+    if broadcast is not None:
+        return bool(broadcast)
+    probe = source.select(F.lit(1).alias("one")).limit(max_broadcast_rows + 1).count()
+    return probe <= max_broadcast_rows
+
+
 def merge_into(
     spark: SparkSession,
     path: str,
@@ -138,6 +157,8 @@ def merge_into(
     update_cols: list[str] | None = None,
     insert_unmatched: bool = True,
     delete_matched: bool = False,
+    broadcast: bool | None = None,
+    max_broadcast_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> int:
     """Copy-on-write MERGE (the M4 UPDATE fan-out path; Iceberg:
     ``MERGE INTO t USING s ON ... WHEN MATCHED THEN UPDATE/DELETE WHEN NOT
@@ -153,7 +174,39 @@ def merge_into(
 
     The merged state commits as ONE new snapshot; the pre-merge snapshot id
     is the rollback/lineage handle.
+
+    Join strategy: ``broadcast=None`` (default) auto-selects — sources up to
+    ``max_broadcast_rows`` are broadcast, bigger ones shuffle on the merge
+    keys (see ``_choose_broadcast``). Pass True/False to force either side.
     """
+    merged = merged_frame(
+        spark,
+        path,
+        source,
+        on,
+        update_cols=update_cols,
+        insert_unmatched=insert_unmatched,
+        delete_matched=delete_matched,
+        broadcast=broadcast,
+        max_broadcast_rows=max_broadcast_rows,
+    )
+    return _commit(path, merged, "merge", inherit_parent_files=False)
+
+
+def merged_frame(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    update_cols: list[str] | None = None,
+    insert_unmatched: bool = True,
+    delete_matched: bool = False,
+    broadcast: bool | None = None,
+    max_broadcast_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
+) -> DataFrame:
+    """The (lazy) post-MERGE table state ``merge_into`` commits — exposed so
+    tests and dry-runs can inspect the plan (e.g. that a large source really
+    takes the shuffle join) without committing a snapshot."""
     target = read_snapshot(spark, path)
     dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).collect()
     if dup:
@@ -169,7 +222,8 @@ def merge_into(
         *[F.col(c).alias(f"__src_{c}") for c in source.columns if c not in on],
         F.lit(True).alias("__src_match"),
     )
-    joined = target.join(F.broadcast(src), on, "left")
+    right = F.broadcast(src) if _choose_broadcast(source, broadcast, max_broadcast_rows) else src
+    joined = target.join(right, on, "left")
     if delete_matched:
         merged_existing = joined.filter(F.col("__src_match").isNull()).select(
             *target.columns
@@ -198,4 +252,4 @@ def merge_into(
         merged = merged_existing.unionByName(inserts)
     else:
         merged = merged_existing
-    return _commit(path, merged, "merge", inherit_parent_files=False)
+    return merged

@@ -10,8 +10,16 @@ job resumes from the last committed batch).
 
 from data_validator_guard_spark.streaming.incremental import (
     dedup_stream,
+    minhash_signature_stream,
+    near_duplicates_from_store,
     validate_stream,
     windowed_event_counts,
 )
 
-__all__ = ["dedup_stream", "validate_stream", "windowed_event_counts"]
+__all__ = [
+    "dedup_stream",
+    "minhash_signature_stream",
+    "near_duplicates_from_store",
+    "validate_stream",
+    "windowed_event_counts",
+]

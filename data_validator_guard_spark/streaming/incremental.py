@@ -152,3 +152,95 @@ def dedup_stream(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def minhash_signature_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    n: int = 3,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming near-dup bridge, emit side: per-micro-batch MinHash
+    signature (and shingle) emission into an append-only parquet store.
+
+    The batch MinHash family (``dedup.minhash_near_duplicates``) assumes the
+    whole corpus is in hand; a continuously-arriving corpus instead computes
+    each document's signature ONCE, on arrival, and accumulates it — pairing
+    then runs periodically over the store
+    (:func:`near_duplicates_from_store`) without ever re-hashing old
+    documents. foreachBatch reuses the batch emitters unchanged
+    (``minhash_signature`` / ``shingle_table``); exactly-once per input file
+    via the streaming checkpoint, so a restarted query neither re-emits nor
+    skips (pinned by the restart test). Shingles are stored alongside
+    signatures because the pairing round's exact-Jaccard verify needs them;
+    both stores grow linearly with the corpus (k hashes / distinct shingles
+    per doc) and stay partitioned — nothing is driver-side.
+    """
+    from data_validator_guard_spark.operators.dedup import (
+        minhash_signature,
+        shingle_table,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sig = minhash_signature(batch_df, text_col, id_col, k, n)
+        sig.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            os.path.join(store_dir, "signatures")
+        )
+        sh = shingle_table(batch_df, text_col, id_col, n)
+        sh.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            os.path.join(store_dir, "shingles")
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", os.path.join(store_dir, "_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def near_duplicates_from_store(
+    spark: SparkSession,
+    store_dir: str,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Streaming near-dup bridge, pairing side: banded LSH + exact-Jaccard
+    verification over the ACCUMULATED signature store — the periodic batch
+    pass that completes :func:`minhash_signature_stream`. Returns
+    ``id1, id2, jaccard`` exactly like ``minhash_near_duplicates``, including
+    cross-batch pairs (a document that arrived in drain 1 pairs with its
+    near-duplicate from drain 2). Signatures/shingles are deterministic per
+    document, so if an id was ever double-emitted the duplicates are
+    identical rows — collapsed here (dropDuplicates on full rows) before
+    pairing. ``max_bucket`` defaults to the dedup module's cap when None.
+    """
+    from data_validator_guard_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        jaccard_verify,
+        lsh_candidate_pairs,
+    )
+
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
+    sig = (
+        spark.read.parquet(os.path.join(store_dir, "signatures"))
+        .drop("batch_id")
+        .dropDuplicates(["id"])
+    )
+    shingles = (
+        spark.read.parquet(os.path.join(store_dir, "shingles"))
+        .drop("batch_id")
+        .dropDuplicates(["id", "shingle"])
+    )
+    pairs = lsh_candidate_pairs(sig, k, bands, max_bucket)
+    return jaccard_verify(pairs, shingles, threshold)

@@ -81,6 +81,15 @@ def curate(
         n_chunks = spark.read.parquet(os.path.join(out_dir, "train_chunks")).count()
     finally:
         labeled.unpersist()
+        # curation_disposition's dedup stage tracks persisted intermediates
+        # (signatures/shingles); everything is written out above, so release
+        # them here — the terminal-action contract from the dedup module
+        # docstring (MEMORY_AND_DISK spill blocks are not LRU-evicted).
+        from data_validator_guard_spark.operators.dedup import (
+            unpersist_intermediates,
+        )
+
+        unpersist_intermediates()
 
     return {
         "n_input": sum(by.values()),

@@ -69,16 +69,21 @@ def main(argv: list[str] | None = None) -> int:
     # silent-unpinned bug read_source refuses — so say it out loud instead.
     from data_validator_guard_spark.sources import snapstore
 
-    if os.path.isdir(args.input) and snapstore.is_snapstore(args.input):
-        df = read_source(spark, args.input, snapshot_id=args.snapshot_id)
-    else:
+    if os.path.isdir(args.input) and not snapstore.is_snapstore(args.input):
+        # Plain parquet directory: the only shape that genuinely cannot pin.
         print(
-            f"WARNING: {args.input} is not a snapstore/Iceberg table; "
-            f"snapshot-id {args.snapshot_id!r} is recorded as ledger lineage "
-            "only — the read itself is NOT pinned",
+            f"WARNING: {args.input} is a plain parquet dir (not snapstore/"
+            f"Iceberg); snapshot-id {args.snapshot_id!r} is recorded as "
+            "ledger lineage only — the read itself is NOT pinned",
             file=sys.stderr,
         )
         df = read_source(spark, args.input)
+    else:
+        # Snapstore dir OR a non-path Iceberg table identifier: both honor
+        # snapshot pinning, so the id must reach the read — otherwise a
+        # resume after a kill could re-read a different snapshot than the
+        # ledger records, breaking clone-before-clean.
+        df = read_source(spark, args.input, snapshot_id=args.snapshot_id)
     t0 = time.time()
     stats = run_with_ledger(
         df,

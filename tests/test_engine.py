@@ -542,3 +542,48 @@ def test_depends_on_validation_at_definition_time():
                 Rule("b", "cross_column", (), {"expr": "1=1", "depends_on": ("a",)}),
             ],
         )
+
+
+def test_join_consistency_clash_in_string_literal_is_not_a_reference(spark):
+    """Round-3 advice: a dim column name appearing only inside a string
+    literal (or comment) of params['expr'] is not a reference — the suite
+    must validate, with the unreferenced clash column dropped from the dim
+    (left columns win). A real reference must still be rejected."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    # `status` exists on BOTH sides (a clash); the expr mentions it ONLY
+    # inside a string literal and a comment — previously the bare-identifier
+    # tokenizer saw it there and raised a spurious definition-time error.
+    df = spark.createDataFrame(
+        [(1, "s1", "en", "status", "ok")],
+        "id bigint, code string, lang string, category string, status string",
+    )
+    dim = spark.createDataFrame(
+        [("s1", "en", "x")], "code string, want string, status string"
+    )
+
+    def mk(expr):
+        return RuleSuite(
+            "p",
+            [
+                Rule(
+                    "agree",
+                    "join_consistency",
+                    ("lang",),
+                    {"other": dim, "on": ["code"], "expr": expr},
+                )
+            ],
+            key_cols=("id",),
+        )
+
+    _, violations = validate(
+        df, mk("lang = want AND category = 'status' -- status guard")
+    )
+    assert violations.count() == 0
+
+    # a genuine (code-part) reference to the clash column must still fail
+    with _pytest.raises(ValueError, match="exist in BOTH"):
+        validate(df, mk("lang = want AND status = 'ok'"))

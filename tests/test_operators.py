@@ -749,3 +749,105 @@ def test_pack_sequences_growth_stability(spark):
         # offsets only ever move right (insertions add tokens before a doc)
         for d in old_order:
             assert grown[d][1] >= base[d][1]
+
+
+def test_auto_n_shards_scales_with_volume(spark):
+    """Round-3 verdict #4: the packing shard count must be derivable from
+    corpus volume (bounded per-shard window state), and the auto value must
+    behave identically to the same value passed explicitly (auto is a sizing
+    helper, not a second layout algorithm)."""
+    from data_validator_guard_spark.operators.packing import (
+        auto_n_shards,
+        pack_sequences,
+    )
+
+    # sizing math: shards grow linearly with token volume, floor of 1
+    assert auto_n_shards(0) == 1
+    assert auto_n_shards(1_000, avg_doc_tokens=200, target_shard_tokens=50_000_000) == 1
+    assert (
+        auto_n_shards(10**9, avg_doc_tokens=200, target_shard_tokens=50_000_000)
+        == 4000
+    )
+    assert (
+        auto_n_shards(10**12, avg_doc_tokens=500, target_shard_tokens=50_000_000)
+        == 10_000_000
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(300)],
+        "doc_id long, text string",
+    )
+    n = auto_n_shards(300, avg_doc_tokens=4, target_shard_tokens=300)
+    assert n == 4
+    auto_rows = {
+        r.doc_id: (r.shard, r.start_offset)
+        for r in pack_sequences(docs, "text", "doc_id", 16, n_shards=n).collect()
+    }
+    explicit_rows = {
+        r.doc_id: (r.shard, r.start_offset)
+        for r in pack_sequences(docs, "text", "doc_id", 16, n_shards=4).collect()
+    }
+    assert auto_rows == explicit_rows
+
+
+def test_exact_sim_key_orders_like_cosine(spark):
+    """Round-3 verdict #8: the ANN rank key is exact integer arithmetic that
+    must order exactly like cosine over the quantized vectors — including
+    negative similarities — so near-ties cannot reorder across engines."""
+    import math
+
+    from data_validator_guard_spark.operators.similarity import exact_sim_key
+
+    q = [3, 4, 0]
+    cands = [
+        (1, [3, 4, 0]),    # cos = 1
+        (2, [4, 3, 0]),    # cos = 0.96
+        (3, [0, 0, 7]),    # cos = 0
+        (4, [-3, -4, 0]),  # cos = -1
+        (5, [-4, 3, 1]),   # cos = 0 (orthogonal-ish): dot = 0
+        (6, [6, 8, 1]),    # cos just under 1
+    ]
+    df = spark.createDataFrame(
+        [(i, q, c) for i, c in cands],
+        "id long, q array<long>, c array<long>",
+    )
+    rows = df.select(
+        "id", exact_sim_key(F.col("q"), F.col("c")).alias("key")
+    ).collect()
+    got = [r.id for r in sorted(rows, key=lambda r: (-r.key, r.id))]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    want = [i for i, _ in sorted(cands, key=lambda t: (-cos(q, t[1]), t[0]))]
+    assert got == want
+
+
+def test_ivf_recall_sweep_monotone_in_nprobe(spark):
+    """Round-3 verdict #7: the IVF knobs have measured semantics — for each
+    Lloyd depth, recall@5 is non-decreasing in nprobe (probing more cells
+    only ever adds candidates), and the shipped operating point
+    (nprobe=3, iters=1) stays at/above the multi-probe LSH plateau (0.62)."""
+    from data_validator_guard_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=5)
+    recalls: dict[tuple[int, int], float] = {}
+    for iters in (0, 1, 2):
+        for nprobe in (1, 2, 3):
+            r = recall_at_k(
+                exact, ivf_topk(emb, q, k=5, n_clusters=8, nprobe=nprobe, iters=iters)
+            ).collect()
+            recalls[(iters, nprobe)] = sum(x.recall for x in r) / len(r)
+    for iters in (0, 1, 2):
+        assert recalls[(iters, 1)] <= recalls[(iters, 2)] <= recalls[(iters, 3)], (
+            f"recall not monotone in nprobe at iters={iters}: "
+            f"{[recalls[(iters, p)] for p in (1, 2, 3)]}"
+        )
+    assert recalls[(1, 3)] >= 0.62, f"shipped operating point fell: {recalls[(1, 3)]}"

@@ -155,3 +155,50 @@ def test_ledger_resume_pinned_across_snapshots(spark, tmp_path):
     assert st3 == {"partitions_done_before": 0, "partitions_validated": 5}
     v9 = spark.read.parquet(out + "/verdicts").filter(F.col("partition") == "p9")
     assert v9.count() == 1 and v9.collect()[0].n_violations == 5
+
+
+def test_merge_into_size_aware_join(spark, tmp_path):
+    """Round-3 verdict #2: merge_into must not unconditionally broadcast the
+    source — a correction set bigger than the guard takes the shuffle join
+    (asserted on the physical plan) and still merges correctly."""
+    from data_validator_guard_spark.sources.snapstore import (
+        _choose_broadcast,
+        merged_frame,
+    )
+
+    t = str(tmp_path / "t")
+    snapstore.create_table(
+        t, spark.createDataFrame([(i, 0) for i in range(20)], "grp long, v int")
+    )
+    small = spark.createDataFrame([(1, 10)], "grp long, v int")
+    big = spark.createDataFrame([(i, i) for i in range(50)], "grp long, v int")
+
+    # auto mode: small source broadcasts, a source over the guard shuffles
+    assert _choose_broadcast(small, None, max_broadcast_rows=10) is True
+    assert _choose_broadcast(big, None, max_broadcast_rows=10) is False
+    # explicit override wins in both directions (no probe job is run: the
+    # frames here are tiny, so only the flag can explain the choice)
+    assert _choose_broadcast(big, True, max_broadcast_rows=10) is True
+    assert _choose_broadcast(small, False, max_broadcast_rows=10) is False
+
+    # the non-broadcast plan really is a shuffle join on the merge keys
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            merged_frame(spark, t, big, ["grp"], broadcast=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # end-to-end: the large-source merge (auto -> shuffle) commits correctly
+    sid = snapstore.merge_into(spark, t, big, ["grp"], max_broadcast_rows=10)
+    got = {
+        (r.grp, r.v) for r in snapstore.read_snapshot(spark, t, sid).collect()
+    }
+    assert got == {(i, i) for i in range(50)}

@@ -248,3 +248,42 @@ def test_dedup_stream_drops_duplicates_across_restart(spark, tmp_path):
 
     got = sorted(r.k for r in spark.read.parquet(os.path.join(out, "rows")).collect())
     assert got == ["a", "b", "c"]
+
+
+def test_minhash_stream_pairs_across_restart(spark, tmp_path):
+    """Round-3 verdict #5 (streaming near-dup bridge): signatures are emitted
+    per micro-batch into the store; a near-duplicate planted in drain 2 of a
+    RESTARTED query pairs with its partner from drain 1; exactly-once means
+    the pairing sees no duplicate signature rows."""
+    from data_validator_guard_spark.streaming import (
+        minhash_signature_stream,
+        near_duplicates_from_store,
+    )
+
+    schema = "doc_id long, text string"
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+
+    def batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(inp)
+
+    def drain():
+        q = minhash_signature_stream(spark, inp, schema, store, "text", "doc_id")
+        q.awaitTermination(120)
+
+    # drain 1: the original + an unrelated doc
+    batch([(1, base), (2, "completely different words about spark shuffles and joins etc")])
+    drain()
+    # drain 2 (fresh query object, same checkpoint): a near-dup of doc 1
+    batch([(3, base + " extra")])
+    drain()
+
+    sig = spark.read.parquet(os.path.join(store, "signatures"))
+    assert sig.count() == 3  # exactly-once: no re-emission on restart
+    pairs = {
+        (r.id1, r.id2)
+        for r in near_duplicates_from_store(spark, store, threshold=0.5).collect()
+    }
+    assert (1, 3) in pairs
+    assert all(2 not in p for p in pairs)
