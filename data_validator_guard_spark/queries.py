@@ -732,6 +732,68 @@ def _exact_key_sql(q: str, c: str) -> str:
 _QUANT_SQL = "list_transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
 
 
+_EXACT_RANK_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {key} AS sim
+  FROM q JOIN e c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query(
+    "similarity_exact_rank",
+    oracle=_EXACT_RANK_ORACLE.format(key=_exact_key_sql("q.qv", "c.qv")),
+)
+def q_similarity_exact_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k ranked by the exact integer similarity key
+    (round-3 verdict #8): the fully-deterministic sibling of
+    ``similarity_topk`` — same candidate set (all pairs), but the rank key
+    is exact int64 arithmetic + one IEEE division over quantized vectors,
+    so the ordering is engine-identical by construction, not by
+    observation. This is the ranking contract the ANN paths
+    (``similarity_bucketed``/``similarity_ivf``) now share."""
+    from data_validator_guard_spark.operators.dedup import _quantize
+    from data_validator_guard_spark.operators.similarity import exact_sim_key
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding"), 1000).alias("__q")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("__q").alias("__qq")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("__q").alias("__cq"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            exact_sim_key(F.col("__qq"), F.col("__cq")).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def _bucket_sql(vec: str, n_planes: int = 4, scale: int = 1000) -> str:
     """DuckDB replica of operators.similarity.quantized_lsh_bucket — integer
     quantization makes the sign decision exact, so the bucket is identical in
