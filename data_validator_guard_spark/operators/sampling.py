@@ -1,0 +1,136 @@
+"""Deterministic sampling for training-data pipelines.
+
+Real pipelines sample constantly — held-out slices, ablation subsets,
+per-language caps — and at 10^12 rows the sample must be (a) reproducible
+across runs and engines, (b) stable under corpus growth (adding documents
+never flips an existing document's membership), and (c) computed without any
+RNG state or global sort. Both operators here derive membership purely from
+md5 of the row's own id, the same growth-stable construction as
+``quality.train_val_split`` and ``packing.pack_sequences``:
+
+- :func:`hash_sample` — Bernoulli-style fraction sampling: keep a row iff the
+  first 12 hex nibbles of md5(id), read as an integer in [0, 16^12), fall
+  below ``fraction_ppm / 10^6 * 16^12``. Exact integer threshold compare —
+  no float, no RNG; membership is a pure per-row function (narrow, fuses
+  into any scan; zero shuffles).
+- :func:`stratified_sample_n` — exactly ``n`` rows per stratum (language,
+  source, ...), chosen as the n smallest md5(id) within the stratum: one
+  shuffle on the stratum key; the per-stratum rank is a window over that
+  same key. Growth caveat (inherent to exact-n): adding a document with a
+  smaller hash can displace the current n-th pick — exact-n quotas are
+  re-draws by definition; use :func:`hash_sample` when membership stability
+  matters more than exact counts.
+
+Reference parity: the reference has no sampling (it validates full tables);
+this extends the training-data family (SURVEY.md LLM-pipeline operators) the
+same way dedup/split/contamination do. Oracle parity: md5 hex and integer
+compares are identical in DuckDB (``conv``/``from_hex`` replicated with
+bit-exact arithmetic on the first 12 nibbles — within BIGINT range).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 16^12 = 2^48: the sample-space size when reading the first 12 hex nibbles.
+HASH_SPACE = 16**12
+PPM = 1_000_000
+
+
+def _hash_position(id_col: Column) -> Column:
+    """First 12 hex nibbles of md5(id) as an exact integer in [0, 2^48) —
+    uniform by construction, bit-identical in any engine."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction_ppm: int) -> DataFrame:
+    """Deterministic Bernoulli-style sample of ~``fraction_ppm``/10^6 rows.
+
+    Membership = ``hash_position(id) * 10^6 < fraction_ppm * 2^48`` (exact
+    integer cross-multiplication — no float division ever decides
+    membership). Properties: reproducible, growth-stable (a row's membership
+    depends only on its own id), and nested (the 10_000-ppm sample is a
+    strict subset of the 20_000-ppm sample) — the standard trick for
+    consistent down-sampling ladders. Products stay < 2^68, within the
+    exact range of DECIMAL comparisons; here both factors fit int64 and the
+    product fits int64 * small constant, so the compare is done on
+    decimal(38,0) to be overflow-proof under ANSI mode.
+    """
+    if not (0 <= fraction_ppm <= PPM):
+        raise ValueError(f"fraction_ppm must be in [0, {PPM}], got {fraction_ppm}")
+    pos = _hash_position(F.col(id_col)).cast("decimal(38,0)")
+    bound = F.lit(fraction_ppm).cast("decimal(38,0)") * F.lit(HASH_SPACE).cast(
+        "decimal(38,0)"
+    )
+    return df.filter(pos * F.lit(PPM).cast("decimal(38,0)") < bound)
+
+
+def stratified_sample_n(
+    df: DataFrame, stratum_col: str, id_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum: the n smallest
+    ``md5(id)`` within each stratum (ties impossible — ids are distinct and
+    md5 is applied to the id itself, with the id as a formal tiebreak).
+
+    One shuffle on the stratum key; the window sorts only within strata, so
+    the largest per-executor state is the biggest stratum — bounded the same
+    way every blocked operator here is. Adds a ``__rk`` -free output: the
+    original columns only.
+    """
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    quantiles_pct: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Exact per-group quantiles of an integer-valued expression WITHOUT a
+    global (or even per-group) row sort: aggregate to a (group, value) count
+    histogram first — cardinality = distinct values per group, not rows —
+    then pick, for each q, the smallest value whose running count reaches
+    ``ceil(q/100 * n)`` (the classic type-1 / lower-step quantile, exactly
+    reproducible in SQL). Returns ``group_col, n_rows, q<p>...`` (one column
+    per requested percentile, BIGINT).
+
+    At 10^12 rows the histogram for e.g. content length is |group| x
+    |distinct lengths| — millions, not trillions; the only window runs over
+    that small histogram. Same shape discipline as ``key_skew_profile``.
+    """
+    if not quantiles_pct or any(not (0 < q <= 100) for q in quantiles_pct):
+        raise ValueError(f"quantiles_pct must be in (0, 100], got {quantiles_pct}")
+    hist = df.groupBy(F.col(group_col), value.cast("bigint").alias("__v")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        F.col(group_col),
+        "__v",
+        F.sum("__n").over(w).alias("__cum"),
+        F.sum("__n").over(Window.partitionBy(group_col)).alias("__tot"),
+    )
+    aggs = [F.max("__tot").alias("n_rows")]
+    for q in quantiles_pct:
+        # target rank = ceil(q/100 * n) via integer arithmetic
+        target = F.floor((F.col("__tot") * q + 100 - 1) / 100)
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= target, F.col("__v"))).alias(f"q{q}")
+        )
+    return cum.groupBy(group_col).agg(*aggs)

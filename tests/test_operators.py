@@ -851,3 +851,70 @@ def test_ivf_recall_sweep_monotone_in_nprobe(spark):
             f"{[recalls[(iters, p)] for p in (1, 2, 3)]}"
         )
     assert recalls[(1, 3)] >= 0.62, f"shipped operating point fell: {recalls[(1, 3)]}"
+
+
+def test_hash_sample_nested_stable_and_unbiased(spark):
+    """Deterministic sampling contract: (a) membership is growth-stable (a
+    row's membership never depends on other rows), (b) fractions nest (the
+    10% sample is a strict subset of the 30% sample), (c) the realized rate
+    is near the requested fraction, (d) bounds are validated."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.operators.sampling import hash_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(2000)], "doc_id long, text string"
+    )
+    s10 = {r.doc_id for r in hash_sample(docs, "doc_id", 100_000).collect()}
+    s30 = {r.doc_id for r in hash_sample(docs, "doc_id", 300_000).collect()}
+    assert s10 <= s30
+    assert 0.06 <= len(s10) / 2000 <= 0.14
+    assert 0.25 <= len(s30) / 2000 <= 0.35
+
+    # growth stability: doubling the corpus never flips existing membership
+    grown = docs.unionByName(
+        spark.createDataFrame(
+            [(10_000 + i, f"g{i}") for i in range(2000)], "doc_id long, text string"
+        )
+    )
+    s10g = {r.doc_id for r in hash_sample(grown, "doc_id", 100_000).collect()}
+    assert {d for d in s10g if d < 10_000} == s10
+
+    with _pytest.raises(ValueError, match="fraction_ppm"):
+        hash_sample(docs, "doc_id", 2_000_000)
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    """Exactly min(n, |stratum|) per stratum, and two runs agree exactly
+    (membership is a pure function of md5(id) within the stratum)."""
+    from data_validator_guard_spark.operators.sampling import stratified_sample_n
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got1 = [(r.doc_id, r.lang) for r in stratified_sample_n(df, "lang", "doc_id", 10).collect()]
+    got2 = [(r.doc_id, r.lang) for r in stratified_sample_n(df, "lang", "doc_id", 10).collect()]
+    assert sorted(got1) == sorted(got2)
+    by_lang: dict[str, int] = {}
+    for _, lang in got1:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    assert by_lang == {"big": 10, "small": 3}
+
+
+def test_grouped_exact_quantiles_match_bruteforce(spark):
+    """The histogram-cumsum quantile equals the type-1 (lower-step) quantile
+    computed brute-force in python, per group, including skewed groups."""
+    import math
+
+    from data_validator_guard_spark.operators.sampling import grouped_exact_quantiles
+
+    vals = {"a": [1, 2, 2, 3, 100], "b": list(range(1, 101)), "c": [7]}
+    rows = [(f"{g}{i}", g, v) for g, vs in vals.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "id string, grp string, v long")
+    got = {
+        r.grp: (r.n_rows, r.q50, r.q90, r.q99)
+        for r in grouped_exact_quantiles(df, "grp", F.col("v"), (50, 90, 99)).collect()
+    }
+    for g, vs in vals.items():
+        s = sorted(vs)
+        want = tuple(s[math.ceil(q / 100 * len(s)) - 1] for q in (50, 90, 99))
+        assert got[g] == (len(s), *want), f"group {g}: {got[g]} != {(len(s), *want)}"
