@@ -4399,3 +4399,48 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return grouped_exact_quantiles(docs, "lang", F.length("text"), (50, 90, 99))
+
+
+# =====================================================================
+# 24. Token document frequency (the IDF foundation for TF-IDF style
+#     weighting) — exact integers only: df + n_docs, never ln(N/df)
+#     (libm transcendentals are not bit-portable across engines; IDF is
+#     one division+log away for any consumer).
+# =====================================================================
+@query(
+    "token_doc_frequency",
+    oracle=r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tok, CAST(df AS BIGINT) AS df, rank, CAST(n_docs AS BIGINT) AS n_docs
+FROM (
+  SELECT tok, COUNT(*) AS df,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rank
+  FROM dt GROUP BY tok
+), tot
+WHERE rank <= 20
+""",
+)
+def q_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by document frequency: per-doc DISTINCT tokens first
+    (array_distinct before the explode — the exploded row count is bounded
+    by distinct tokens/doc, not raw token count), one hash-count shuffle on
+    the token, TakeOrdered for the top-k (never a global window over the
+    vocabulary), corpus size attached via a broadcast one-row aggregate."""
+    from data_validator_guard_spark.operators.text import heavy_hitters
+
+    docs = read_table(spark, sf_dir, "documents")
+    doc_tokens = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias(
+            "tok"
+        ),
+    )
+    top = heavy_hitters(doc_tokens, "tok", k=20).select(
+        F.col("value").alias("tok"), F.col("n").alias("df"), "rank"
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return top.crossJoin(F.broadcast(total))

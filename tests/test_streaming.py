@@ -287,3 +287,41 @@ def test_minhash_stream_pairs_across_restart(spark, tmp_path):
     }
     assert (1, 3) in pairs
     assert all(2 not in p for p in pairs)
+
+
+def test_hash_sample_is_streaming_safe(spark, tmp_path):
+    """hash_sample is a pure per-row filter (no shuffle, no state), so it
+    must work unchanged on a streaming DataFrame — the sampled stream is the
+    same subset the batch operator selects, across micro-batches."""
+    from data_validator_guard_spark.operators.sampling import hash_sample
+
+    schema = "doc_id long, text string"
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+
+    spark.createDataFrame(
+        [(i, f"d{i}") for i in range(500)], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = spark.readStream.schema(schema).parquet(inp)
+    sampled = hash_sample(stream, "doc_id", 200_000)
+    assert sampled.isStreaming
+    q = (
+        sampled.writeStream.format("parquet")
+        .option("path", os.path.join(out, "rows"))
+        .option("checkpointLocation", os.path.join(out, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_ids = {
+        r.doc_id
+        for r in hash_sample(
+            spark.read.parquet(inp), "doc_id", 200_000
+        ).collect()
+    }
+    stream_ids = {
+        r.doc_id for r in spark.read.parquet(os.path.join(out, "rows")).collect()
+    }
+    assert stream_ids == batch_ids and 0 < len(batch_ids) < 500
