@@ -183,3 +183,49 @@ def test_spark_submit_py_files_validate(spark, tmp_path):
         assert os.path.isdir(os.path.join(out, sub)), sub
     got = spark.read.parquet(os.path.join(out, "verdicts"))
     assert got.count() > 0
+
+
+def test_validate_job_pins_snapstore_input(spark, tmp_path):
+    """Round-3 advice (high): the job must route every pinnable input
+    through the snapshot-pinned read — only plain parquet dirs may
+    warn-and-unpin. Pin the behavior through the job surface: validate a
+    snapstore table at --snapshot-id 1 AFTER a second snapshot landed; the
+    verdicts must count snapshot 1's rows, not the current table's."""
+    from pyspark.sql import functions as F
+
+    from data_validator_guard_spark.sources import snapstore
+    from jobs import validate as vjob
+
+    t = str(tmp_path / "code_store")
+    rows1 = [
+        (f"org/repo{i % 3}", f"src/f{i}.py", f"c{i:04x}", "python", f"print({i})\n")
+        for i in range(100)
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    s1 = snapstore.create_table(t, spark.createDataFrame(rows1, schema))
+    rows2 = [
+        (f"org/late{i}", f"src/g{i}.py", f"d{i:04x}", "python", f"print(-{i})\n")
+        for i in range(150)
+    ]
+    s2 = snapstore.append(t, spark.createDataFrame(rows2, schema))
+    assert (s1, s2) == (1, 2)
+
+    out = str(tmp_path / "out")
+    rc = vjob.main(
+        [
+            "--input", t,
+            "--out", out,
+            "--snapshot-id", "1",
+            "--partitions", "4",
+            "--n-salts", "4",
+        ]
+    )
+    assert rc == 0
+    verdicts = spark.read.parquet(os.path.join(out, "verdicts"))
+    # every rule sees the same row universe; take one rule's total
+    one_rule = verdicts.filter(F.col("rule_id") == verdicts.first().rule_id)
+    n = one_rule.agg(F.sum("n_rows").alias("n")).collect()[0].n
+    assert n == 100, f"pinned read leaked snapshot 2 rows: n_rows={n}"
+    # lineage records the pinned snapshot id
+    ledger = spark.read.parquet(os.path.join(out, "ledger"))
+    assert {r.snapshot_id for r in ledger.select("snapshot_id").collect()} == {"1"}
