@@ -414,6 +414,7 @@ def validate(
     suite: RuleSuite,
     n_salts: int = DEFAULT_N_SALTS,
     persist_violations: bool = True,
+    violation_sample_ppm: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run every rule in ``suite`` over ``df``.
 
@@ -421,6 +422,16 @@ def validate(
     - verdicts: ``rule_id, partition, pass, n_rows, n_violations`` — one row
       per (rule, partition value);
     - violations: ``rule_id, partition, keys, detail``.
+
+    ``violation_sample_ppm`` bounds the EMITTED violation rows: at 10^12
+    rows a 1%-defect rule would emit 10^10 rows, which no consumer reads in
+    full — with a ppm set, each violation row is kept iff an exact integer
+    threshold on md5(rule_id, partition, keys, detail) passes (the
+    ``sampling.hash_sample`` construction: deterministic, reproducible,
+    uniform per rule, zero extra shuffles — a pure filter fused into the
+    emit plan). Verdict counts are NOT affected: ``n_violations`` comes from
+    the fused counters / fragment sums, never from counting the returned
+    frame, so the verdicts stay exact while the row emission is bounded.
 
     Both are lazy. Verdicts for row- and table-level rules come entirely from
     the single fused totals aggregation — materializing only verdicts never
@@ -740,6 +751,28 @@ def validate(
         )
         violations = violations.join(
             F.broadcast(skipped.drop("__skip")), ["rule_id", "partition"], "left_anti"
+        )
+    if violation_sample_ppm is not None:
+        # applied LAST, on the returned frame only: every verdict count above
+        # derives from counters/fragment sums, so sampling here can never
+        # skew n_violations — it only bounds what is materialized.
+        from data_validator_guard_spark.operators.sampling import (
+            HASH_SPACE,
+            PPM,
+            _hash_position,
+        )
+
+        if not (0 <= violation_sample_ppm <= PPM):
+            raise ValueError(
+                f"violation_sample_ppm must be in [0, {PPM}], got {violation_sample_ppm}"
+            )
+        pos = _hash_position(
+            F.concat_ws("\x1f", "rule_id", "partition", "keys", "detail")
+        ).cast("decimal(38,0)")
+        violations = violations.filter(
+            pos * F.lit(PPM).cast("decimal(38,0)")
+            < F.lit(violation_sample_ppm).cast("decimal(38,0)")
+            * F.lit(HASH_SPACE).cast("decimal(38,0)")
         )
     return verdicts, violations
 

@@ -4444,3 +4444,42 @@ def q_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return top.crossJoin(F.broadcast(total))
+
+
+# =====================================================================
+# 25. Bounded violation emission: at 10^12 rows a 1%-defect rule emits
+#     10^10 violation rows; validate(violation_sample_ppm=...) keeps a
+#     deterministic hash-threshold subset on the emit path while verdict
+#     counts stay exact (they derive from counters, not this frame).
+# =====================================================================
+_VIOLATION_SAMPLE_PPM = 500_000
+
+_VIOL_TUPLE_MD5 = 'md5(concat_ws(chr(31), rule_id, "partition", keys, detail))'
+
+_SAMPLED_VIOLATIONS_ORACLE = f"""
+SELECT * FROM (
+{ORACLES["violations_documents"]}
+) v
+WHERE CAST({_hex12_sql(_VIOL_TUPLE_MD5)} AS HUGEINT) * 1000000
+      < CAST({_VIOLATION_SAMPLE_PPM} AS HUGEINT) * CAST(281474976710656 AS HUGEINT)
+"""
+
+
+@query("violations_sampled", oracle=_SAMPLED_VIOLATIONS_ORACLE)
+def q_violations_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same two-rule suite as ``violations_documents``, emitted at a
+    deterministic ~50% sample: the kept subset is an exact integer function
+    of md5 over the violation tuple, so it is reproducible across engines
+    and a strict subset of the unsampled emission."""
+    docs = read_table(spark, sf_dir, "documents")
+    dim = spark.createDataFrame([(l,) for l in ALLOWED_DOC_LANGS], "lang string")
+    suite = RuleSuite(
+        name="documents",
+        rules=[
+            Rule("lang_pattern", "regex_match", ("lang",), {"pattern": LANG_PATTERN}),
+            Rule("lang_fk", "foreign_key", ("lang",), {"dim": dim}),
+        ],
+        key_cols=("doc_id",),
+    )
+    _, violations = validate(docs, suite, violation_sample_ppm=_VIOLATION_SAMPLE_PPM)
+    return violations

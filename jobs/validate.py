@@ -47,6 +47,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, default=16, help="repo-hash verdict buckets")
     p.add_argument("--baseline-hist", default=None, help="optional parquet (grp,bucket,n) for drift")
     p.add_argument("--n-salts", type=int, default=64)
+    p.add_argument(
+        "--violation-sample-ppm",
+        type=int,
+        default=None,
+        help="bound EMITTED violation rows to ~ppm/10^6 via a deterministic "
+        "md5 threshold (verdict counts stay exact); default: emit all",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -92,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
         snapshot_id=args.snapshot_id,
         rule_version=args.rule_version,
         n_salts=args.n_salts,
+        violation_sample_ppm=args.violation_sample_ppm,
     )
     stats["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(stats))

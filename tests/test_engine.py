@@ -587,3 +587,48 @@ def test_join_consistency_clash_in_string_literal_is_not_a_reference(spark):
     # a genuine (code-part) reference to the clash column must still fail
     with _pytest.raises(ValueError, match="exist in BOTH"):
         validate(df, mk("lang = want AND status = 'ok'"))
+
+
+def test_violation_sampling_bounds_emission_not_counts(spark):
+    """validate(violation_sample_ppm=...): verdict counts must be EXACTLY
+    the unsampled counts (they derive from counters, not the emitted frame);
+    the emitted rows must be a deterministic strict subset, full at ppm=10^6
+    and empty at ppm=0; invalid ppm rejected at call time."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    df = spark.createDataFrame(
+        [(i, "zz" if i % 3 == 0 else "en") for i in range(300)],
+        "id bigint, lang string",
+    )
+    dim = spark.createDataFrame([("en",), ("de",)], "lang string")
+
+    def mk():
+        return RuleSuite(
+            "p",
+            [Rule("lang_fk", "foreign_key", ("lang",), {"dim": dim})],
+            key_cols=("id",),
+        )
+
+    v_full, x_full = validate(df, mk())
+    full_rows = {(r.rule_id, r.keys) for r in x_full.collect()}
+    full_counts = {(r.rule_id, r.partition): r.n_violations for r in v_full.collect()}
+
+    v_s, x_s = validate(df, mk(), violation_sample_ppm=500_000)
+    sampled = {(r.rule_id, r.keys) for r in x_s.collect()}
+    assert sampled < full_rows  # strict subset (100 violations, ~50% kept)
+    assert 0 < len(sampled) < len(full_rows)
+    # verdict counts are the EXACT unsampled counts
+    assert {
+        (r.rule_id, r.partition): r.n_violations for r in v_s.collect()
+    } == full_counts
+
+    _, x_all = validate(df, mk(), violation_sample_ppm=1_000_000)
+    assert {(r.rule_id, r.keys) for r in x_all.collect()} == full_rows
+    _, x_none = validate(df, mk(), violation_sample_ppm=0)
+    assert x_none.count() == 0
+
+    with _pytest.raises(ValueError, match="violation_sample_ppm"):
+        validate(df, mk(), violation_sample_ppm=2_000_000)[1].count()
