@@ -13,6 +13,10 @@ md5 of the row's own id, the same growth-stable construction as
   below ``fraction_ppm / 10^6 * 16^12``. Exact integer threshold compare —
   no float, no RNG; membership is a pure per-row function (narrow, fuses
   into any scan; zero shuffles).
+- :func:`mixture_sample` — per-group hash_sample rates (data mixing: "60%
+  of web, 30% of code, 5% of the rest"); same pure per-row membership, so
+  every hash_sample property holds group-wise and re-weighting one group
+  never disturbs another's sample.
 - :func:`stratified_sample_n` — exactly ``n`` rows per stratum (language,
   source, ...), chosen as the n smallest md5(id) within the stratum: one
   shuffle on the stratum key; the per-stratum rank is a window over that
@@ -65,6 +69,40 @@ def hash_sample(df: DataFrame, id_col: str, fraction_ppm: int) -> DataFrame:
     bound = F.lit(fraction_ppm).cast("decimal(38,0)") * F.lit(HASH_SPACE).cast(
         "decimal(38,0)"
     )
+    return df.filter(pos * F.lit(PPM).cast("decimal(38,0)") < bound)
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    ppm_by_group: dict[str, int],
+    default_ppm: int = 0,
+) -> DataFrame:
+    """Weighted mixture sampling: a per-group :func:`hash_sample` rate.
+
+    The data-mixing primitive of a training pipeline — "keep 60% of web,
+    30% of code, 5% of everything else" — expressed as one pure per-row
+    filter: a row is kept iff ``hash_position(id) * 10^6 < ppm(group) *
+    2^48``, where ``ppm(group)`` comes from ``ppm_by_group`` (unlisted or
+    NULL groups get ``default_ppm``). Because the hash position ignores the
+    group, the output is, per group, EXACTLY ``hash_sample(group_slice,
+    ppm)`` — so all of hash_sample's properties hold group-wise:
+    reproducible, growth-stable, and nested across re-weightings (raising
+    one group's ppm only ever adds rows of that group). Zero shuffles; the
+    rate lookup is a literal CASE chain that fuses into the scan (the
+    group dictionary is a handful of mixture weights, never data-sized).
+    """
+    for g, v in ppm_by_group.items():
+        if not (0 <= v <= PPM):
+            raise ValueError(f"ppm for group {g!r} must be in [0, {PPM}], got {v}")
+    if not (0 <= default_ppm <= PPM):
+        raise ValueError(f"default_ppm must be in [0, {PPM}], got {default_ppm}")
+    ppm: Column = F.lit(default_ppm)
+    for g, v in ppm_by_group.items():
+        ppm = F.when(F.col(group_col) == F.lit(g), F.lit(v)).otherwise(ppm)
+    pos = _hash_position(F.col(id_col)).cast("decimal(38,0)")
+    bound = ppm.cast("decimal(38,0)") * F.lit(HASH_SPACE).cast("decimal(38,0)")
     return df.filter(pos * F.lit(PPM).cast("decimal(38,0)") < bound)
 
 

@@ -918,3 +918,77 @@ def test_grouped_exact_quantiles_match_bruteforce(spark):
         s = sorted(vs)
         want = tuple(s[math.ceil(q / 100 * len(s)) - 1] for q in (50, 90, 99))
         assert got[g] == (len(s), *want), f"group {g}: {got[g]} != {(len(s), *want)}"
+
+
+def test_mixture_sample_equals_per_group_hash_samples(spark):
+    """The mixing contract: mixture_sample's output restricted to one group
+    is EXACTLY hash_sample of that group's slice at that group's rate —
+    so nesting/growth-stability hold group-wise, and re-weighting one group
+    cannot disturb another's sample. NULL/unlisted groups use default_ppm."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.operators.sampling import (
+        hash_sample,
+        mixture_sample,
+    )
+
+    rows = [(i, ["web", "code", "other", None][i % 4]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    ppms = {"web": 600_000, "code": 300_000}
+    mixed = mixture_sample(df, "grp", "doc_id", ppms, default_ppm=50_000)
+    got = {(r.doc_id, r.grp) for r in mixed.collect()}
+
+    for grp, ppm in [("web", 600_000), ("code", 300_000), ("other", 50_000), (None, 50_000)]:
+        cond = "grp IS NULL" if grp is None else f"grp = '{grp}'"
+        expect = {
+            (r.doc_id, r.grp)
+            for r in hash_sample(df.filter(cond), "doc_id", ppm).collect()
+        }
+        assert {g for g in got if g[1] == grp} == expect, f"group {grp} mismatch"
+
+    # re-weighting one group only changes that group's rows
+    reweighted = mixture_sample(
+        df, "grp", "doc_id", {"web": 900_000, "code": 300_000}, default_ppm=50_000
+    )
+    got2 = {(r.doc_id, r.grp) for r in reweighted.collect()}
+    assert {g for g in got if g[1] != "web"} == {g for g in got2 if g[1] != "web"}
+    assert {g for g in got if g[1] == "web"} <= {g for g in got2 if g[1] == "web"}
+
+    with _pytest.raises(ValueError, match="ppm for group"):
+        mixture_sample(df, "grp", "doc_id", {"web": 2_000_000})
+    with _pytest.raises(ValueError, match="default_ppm"):
+        mixture_sample(df, "grp", "doc_id", {}, default_ppm=-1)
+
+
+def test_code_table_planted_defects_are_found(spark):
+    """The portable code-shape derivation plants defects at known moduli;
+    the suite's verdicts must (a) fail exactly the rules with planted
+    defects and (b) count violations consistently with the planted rates
+    (every 97th row duplicated, paths bad at 3/61, commits at 2/83,
+    langs at 2/71 plus the corpus's own out-of-dim values)."""
+    from data_validator_guard_spark.queries import QUERIES
+
+    # sf0.01 (500 docs): the every-97th duplicate plant needs >97 rows
+    sf_dir = "/root/testdata/sf0.01"
+    verdicts = {
+        (r.rule_id, r.partition): r
+        for r in QUERIES["verdicts_code"](spark, sf_dir).collect()
+    }
+    by_rule: dict[str, int] = {}
+    for (rule_id, _), r in verdicts.items():
+        by_rule[rule_id] = by_rule.get(rule_id, 0) + (r.n_violations or 0)
+    # planted defects must be visible corpus-wide
+    assert by_rule["file_identity_unique"] > 0
+    assert by_rule["commit_pattern"] > 0
+    assert by_rule["path_no_traversal"] > 0
+    assert by_rule["lang_fk"] > 0
+    # every partition reports every rule (16 repo-hash buckets at sf>=0.001)
+    n_rules = len({rid for rid, _ in verdicts})
+    n_parts = len({p for _, p in verdicts})
+    assert len(verdicts) == n_rules * n_parts
+    # cardinality stays in range everywhere -> rule passes in every bucket
+    assert all(
+        v.n_violations == 0
+        for (rid, _), v in verdicts.items()
+        if rid == "lang_cardinality"
+    )
