@@ -24,7 +24,15 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def shuffle_exchange_count(df: DataFrame) -> int:
-    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning)", plan_string(df)))
+    # simple mode renders "Exchange hashpartitioning(...)" on one line;
+    # formatted mode splits the node name from its Arguments line and would
+    # make this regex count 0 for every plan.
+    return len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning)",
+            plan_string(df, "simple"),
+        )
+    )
 
 
 def scan_read_schemas(df: DataFrame) -> list[str]:

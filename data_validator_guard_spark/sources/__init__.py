@@ -9,6 +9,7 @@ sandbox stand-in for Iceberg), plus CSV with an explicit schema for parity.
 from __future__ import annotations
 
 import os
+from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -284,3 +285,50 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame as a Spark-bucketed parquet table (S8's scale
+    sibling): rows are hash-distributed into ``n_buckets`` files per
+    partition by ``bucket_cols``, and the bucketing spec is recorded in the
+    catalog, so every later equi-join or aggregation on the bucket key reads
+    the co-located layout and skips its shuffle entirely (the physical plan
+    has NO Exchange on the bucketed side — plan-asserted in
+    tests/test_registry.py). ``sort_cols`` additionally sorts within each
+    bucket file, which lets a sort-merge join skip its per-task sort.
+
+    This is the materialize-once-join-many primitive at 100 TB: the
+    validation engine's outputs (violations keyed by (rule_id, partition),
+    dedup cluster assignments keyed by doc id, IVF cell assignments keyed by
+    centroid) are re-joined constantly downstream; paying ONE write-side
+    shuffle here removes the join-side exchange from every consumer.
+    Choose ``n_buckets`` like shuffle partitions: corpus_bytes /
+    target_partition_bytes (e.g. 100 TB / 256 MB ~ 400k buckets is too many
+    files per write-task — bucket the TABLE, partition the directory: in
+    production pair this with ``partitionBy`` on a coarse column so each
+    directory partition holds ``n_buckets`` files).
+
+    Requires ``saveAsTable`` (bucket metadata lives in the catalog — a bare
+    ``parquet(path)`` write silently drops the bucketing spec; Spark's
+    DataFrameWriter raises on that combination, which this wrapper inherits).
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back. The bucketing spec comes from the catalog
+    (``spark.table``, never ``read.parquet`` — a path read loses the spec
+    and reintroduces the join-side shuffle)."""
+    return spark.table(table)

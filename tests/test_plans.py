@@ -200,3 +200,44 @@ def test_approx_percentile_within_error_of_exact(spark, docs):
         F.expr("percentile(n_chars, 0.5)").alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / max(row.exact, 1.0) < 0.05
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The materialize-once-join-many contract: two tables bucketed on the
+    same key with the same bucket count sort-merge-join with ZERO shuffle
+    exchanges (the write-side shuffle was paid once), and an aggregation on
+    the bucket key is likewise exchange-free. `hint('merge')` pins SMJ so
+    the broadcast threshold can't hide the property being tested."""
+    from data_validator_guard_spark.sources import read_bucketed, write_bucketed
+
+    left = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") + 1).alias("w")
+    )
+    try:
+        write_bucketed(left, "t_bkt_left", ["id"], 4, sort_cols=["id"])
+        write_bucketed(right, "t_bkt_right", ["id"], 4, sort_cols=["id"])
+        l = read_bucketed(spark, "t_bkt_left")
+        r = read_bucketed(spark, "t_bkt_right")
+
+        joined = l.join(r.hint("merge"), "id")
+        assert plans.shuffle_exchange_count(joined) == 0, plans.plan_string(joined)
+        assert joined.count() == 1000
+        got = {(row.id, row.v, row.w) for row in joined.collect()}
+        assert (7, 14, 8) in got
+
+        agg = l.groupBy("id").agg(F.sum("v").alias("sv"))
+        assert plans.shuffle_exchange_count(agg) == 0, plans.plan_string(agg)
+        assert agg.count() == 1000
+
+        # control: the same join over path-read (spec-less) parquet DOES
+        # shuffle — the catalog spec, not the file layout, carries the win
+        lp = left
+        rp = right
+        control = lp.join(rp.hint("merge"), "id")
+        assert plans.shuffle_exchange_count(control) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_left")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_right")
