@@ -4598,7 +4598,7 @@ def _code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _code_suite(spark: SparkSession, rules: list[Rule]) -> RuleSuite:
+def _code_suite(rules: list[Rule]) -> RuleSuite:
     return RuleSuite(
         name="source_code_portable",
         rules=rules,
@@ -4658,7 +4658,6 @@ def q_verdicts_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     code = _code_table(spark, sf_dir)
     dim = spark.createDataFrame([(l,) for l in _CODE_LANGS], "lang string")
     suite = _code_suite(
-        spark,
         [
             Rule("path_not_blank", "not_blank", ("path",)),
             Rule("path_pattern", "regex_match", ("path",), {"pattern": _PATH_PATTERN_PORTABLE}),
@@ -4710,7 +4709,6 @@ def q_violations_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     code = _code_table(spark, sf_dir)
     dim = spark.createDataFrame([(l,) for l in _CODE_LANGS], "lang string")
     suite = _code_suite(
-        spark,
         [
             Rule("commit_pattern", "regex_match", ("commit",), {"pattern": _COMMIT_PATTERN}),
             Rule("path_no_traversal", "no_regex_match", ("path",), {"pattern": _TRAVERSAL_PATTERN}),
