@@ -4750,3 +4750,121 @@ def q_mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
     return mixture_sample(docs, "source", "doc_id", _MIXTURE_PPM, _MIXTURE_DEFAULT_PPM)
+
+
+# =====================================================================
+# 28. Snapshot-diff incremental validation (operators/snapshot_diff.py):
+#     fingerprint both snapshots per partition (one narrow agg each),
+#     re-validate ONLY partitions whose fingerprint changed, carry prior
+#     verdicts elsewhere. The oracle recomputes the fingerprints
+#     (md5-half sums, HUGEINT-exact) and the merged verdict frame,
+#     including which partitions were recomputed.
+# =====================================================================
+def _hexn_sql(hash_expr: str, start: int, n: int) -> str:
+    """Horner expansion of hex nibbles [start, start+n) of a DuckDB md5()
+    hex string as a BIGINT (generalizes ``_hex12_sql`` to an offset)."""
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(start, start + n):
+        nib = f"(strpos('0123456789abcdef', substr({hash_expr}, {i}, 1)) - 1)"
+        acc = f"({acc} * 16 + {nib})"
+    return acc
+
+
+_INC_IMG = (
+    "md5(concat_ws(chr(31), "
+    "COALESCE(CAST(doc_id AS VARCHAR), chr(30)), "
+    "COALESCE(text, chr(30)), "
+    "COALESCE(lang, chr(30)), "
+    "COALESCE(source, chr(30)), "
+    "COALESCE(CAST(n_chars AS VARCHAR), chr(30))))"
+)
+
+_INCREMENTAL_ORACLE = f"""
+WITH old AS (
+  SELECT * FROM documents WHERE NOT (lang = 'en' AND doc_id % 97 = 0)
+),
+new AS (SELECT * FROM documents),
+ofp AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS p, COUNT(*) AS n,
+         SUM({_hexn_sql(_INC_IMG, 1, 12)}) AS slo,
+         SUM({_hexn_sql(_INC_IMG, 13, 12)}) AS shi
+  FROM old GROUP BY 1
+),
+nfp AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS p, COUNT(*) AS n,
+         SUM({_hexn_sql(_INC_IMG, 1, 12)}) AS slo,
+         SUM({_hexn_sql(_INC_IMG, 13, 12)}) AS shi
+  FROM new GROUP BY 1
+),
+chg AS (
+  SELECT COALESCE(o.p, n.p) AS p
+  FROM ofp o FULL OUTER JOIN nfp n ON o.p = n.p
+  WHERE o.n IS DISTINCT FROM n.n
+     OR o.slo IS DISTINCT FROM n.slo
+     OR o.shi IS DISTINCT FROM n.shi
+),
+t AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS p,
+         doc_id % 50 AS k, text, n_chars
+  FROM new
+),
+dup AS (
+  SELECT p, CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_dup FROM (
+    SELECT p, COUNT(*) AS n FROM t GROUP BY p, k HAVING COUNT(*) > 1
+  ) d GROUP BY p
+),
+tot AS (
+  SELECT p, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+         CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_range
+  FROM t GROUP BY p
+),
+v AS (
+  SELECT 'text_not_blank' AS rule_id, p, n_blank = 0 AS pass, n_rows,
+         n_blank AS n_violations FROM tot
+  UNION ALL SELECT 'nchars_range', p, n_range = 0, n_rows, n_range FROM tot
+  UNION ALL SELECT 'min_rows_10', p, n_rows >= 10, n_rows,
+         CAST(CASE WHEN n_rows >= 10 THEN 0 ELSE 1 END AS BIGINT) FROM tot
+  UNION ALL SELECT 'k_unique', tot.p, COALESCE(dup.n_dup, 0) = 0, tot.n_rows,
+         CAST(COALESCE(dup.n_dup, 0) AS BIGINT)
+  FROM tot LEFT JOIN dup ON dup.p = tot.p
+)
+SELECT rule_id, p AS "partition", pass, n_rows, n_violations,
+       p IN (SELECT p FROM chg) AS recomputed
+FROM v
+"""
+
+
+@query("incremental_verdicts", oracle=_INCREMENTAL_ORACLE)
+def q_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-incremental validation: the 'old' snapshot is `documents`
+    minus a handful of English rows (every 97th), the 'new' snapshot is
+    the full table — so exactly ONE partition's fingerprint changes.
+    `incremental_validate` re-scans only that partition and carries every
+    other verdict from the prior run; `recomputed` records which is which.
+    The oracle replays the fingerprint arithmetic (two 48-bit md5-half
+    sums, HUGEINT-exact), the changed-set diff, and the merged frame."""
+    from data_validator_guard_spark.operators.snapshot_diff import (
+        incremental_validate,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.withColumn("k", F.col("doc_id") % 50)
+    old = new.filter(~((F.col("lang") == "en") & (F.col("doc_id") % 97 == 0)))
+    suite = RuleSuite(
+        name="documents_incremental",
+        rules=[
+            Rule("text_not_blank", "not_blank", ("text",)),
+            Rule("nchars_range", "min_max", ("n_chars",), {"lo": 1, "hi": 1000000}),
+            Rule("min_rows_10", "min_rows", (), {"n": 10}),
+            Rule("k_unique", "unique", ("k",)),
+        ],
+        partition_by="lang",
+        key_cols=("doc_id",),
+    )
+    return incremental_validate(
+        old,
+        new,
+        suite,
+        fingerprint_cols=["doc_id", "text", "lang", "source", "n_chars"],
+    )

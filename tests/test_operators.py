@@ -992,3 +992,80 @@ def test_code_table_planted_defects_are_found(spark):
         for (rid, _), v in verdicts.items()
         if rid == "lang_cardinality"
     )
+
+
+def test_snapshot_diff_recomputes_only_changed_partitions(spark):
+    """Incremental-validation contract: (a) a single-value edit flips
+    exactly its partition's fingerprint, (b) only changed partitions are
+    re-validated (recomputed=True), (c) carried verdicts are identical to
+    a full re-run on unchanged partitions, (d) a dropped partition leaves
+    the merged frame, (e) the changed-set collect is guarded."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.operators.snapshot_diff import (
+        changed_partitions,
+        incremental_validate,
+        partition_fingerprints,
+    )
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    rows = [(i, f"t{i}", ["a", "b", "c"][i % 3]) for i in range(300)]
+    old = spark.createDataFrame(rows, "id long, text string, grp string")
+    # edit one value in grp 'b'; drop grp 'c' entirely; add a new grp 'd'
+    new_rows = [
+        (i, "EDITED" if i == 7 else f"t{i}", ["a", "b", "c"][i % 3])
+        for i in range(300)
+        if i % 3 != 2
+    ] + [(1000 + i, f"n{i}", "d") for i in range(20)]
+    new = spark.createDataFrame(new_rows, "id long, text string, grp string")
+
+    cols = ["id", "text", "grp"]
+    chg = changed_partitions(
+        partition_fingerprints(old, "grp", cols),
+        partition_fingerprints(new, "grp", cols),
+    )
+    assert chg == ["b", "c", "d"]  # edited, dropped, added — 'a' untouched
+
+    suite = RuleSuite(
+        name="inc",
+        rules=[
+            Rule("text_not_blank", "not_blank", ("text",)),
+            Rule("id_unique", "unique", ("id",)),
+        ],
+        partition_by="grp",
+        key_cols=("id",),
+    )
+    merged = incremental_validate(old, new, suite, fingerprint_cols=cols)
+    got = {(r.rule_id, r.partition): r for r in merged.collect()}
+    parts = {p for _, p in got}
+    assert parts == {"a", "b", "d"}  # 'c' dropped from the corpus
+    assert all(not got[k].recomputed for k in got if k[1] == "a")
+    assert all(got[k].recomputed for k in got if k[1] in ("b", "d"))
+    # carried verdicts match a full re-run bit for bit on unchanged parts
+    full = {(r.rule_id, r.partition): r for r in validate(new, suite)[0].collect()}
+    for k, r in got.items():
+        assert (r.n_rows, r.n_violations) == (full[k].n_rows, full[k].n_violations)
+
+    with _pytest.raises(ValueError, match="changed partitions"):
+        changed_partitions(
+            partition_fingerprints(old, "grp", cols),
+            partition_fingerprints(new, "grp", cols),
+            max_partitions=1,
+        )
+
+
+def test_partition_fingerprint_null_vs_sentinel_distinct(spark):
+    """('a', NULL) and (NULL, 'a') must fingerprint differently — the
+    sentinel-before-join construction, not concat_ws NULL-skipping."""
+    from data_validator_guard_spark.operators.snapshot_diff import (
+        changed_partitions,
+        partition_fingerprints,
+    )
+
+    a = spark.createDataFrame([("p", "a", None)], "grp string, x string, y string")
+    b = spark.createDataFrame([("p", None, "a")], "grp string, x string, y string")
+    assert changed_partitions(
+        partition_fingerprints(a, "grp", ["x", "y"]),
+        partition_fingerprints(b, "grp", ["x", "y"]),
+    ) == ["p"]
