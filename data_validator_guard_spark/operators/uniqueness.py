@@ -34,3 +34,48 @@ def key_counts(df: DataFrame, cols: list[str | Column], n_salts: int = 64) -> Da
 def duplicate_keys(df: DataFrame, cols: list[str | Column], n_salts: int = 64) -> DataFrame:
     """Key tuples occurring more than once: ``*cols, n`` with n > 1."""
     return key_counts(df, cols, n_salts).filter(F.col("n") > 1)
+
+
+def salted_equijoin(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Big-big equi-join under key skew, the explicit (pre-AQE) treatment:
+    salt the skewed LEFT side with a deterministic per-row salt and
+    replicate the (smaller, but not broadcastable) RIGHT side ``n_salts``
+    times, so one hot key's rows land on ``n_salts`` reducers instead of
+    one straggler.
+
+    Result is row-identical to ``left.join(right, on, how)`` for ``inner``
+    and ``left`` joins (each left row carries exactly one salt value, and
+    every (key, salt) it can need exists on the replicated right). Other
+    join types are rejected: replication would duplicate unmatched RIGHT
+    rows.
+
+    The salt is ``xxhash64`` over the left row's columns — deterministic
+    (reruns and engines agree on which reducer got which row, so shuffle
+    layouts are reproducible), uniform, and computed without moving data.
+    Cost: the right side is materialized ``n_salts`` times into the
+    shuffle — use the smallest n_salts that defuses the hot key (see
+    ``stats.key_skew_profile`` for the measurement) and prefer AQE's
+    runtime skew-join splitting (on by default in ``session.py``) when the
+    skew is mild; this operator is for the key so hot that even a split
+    shuffle block needs pre-spreading, or for engines/paths where AQE
+    cannot see the skew (e.g. a first run with no runtime stats).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_equijoin supports inner/left joins, got {how!r} "
+            "(replicating the right side would duplicate unmatched right rows)"
+        )
+    if n_salts <= 0:
+        raise ValueError(f"n_salts must be positive, got {n_salts}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l.join(r, on + ["__salt"], how).drop("__salt")

@@ -4868,3 +4868,39 @@ def q_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         suite,
         fingerprint_cols=["doc_id", "text", "lang", "source", "n_chars"],
     )
+
+
+# =====================================================================
+# 29. Salted big-big equi-join (operators/uniqueness.py): the explicit
+#     skew treatment when the hot key is too hot even for AQE's runtime
+#     split — salt the skewed side, replicate the other n_salts times.
+#     Row-identical to the plain join (the oracle IS the plain join).
+# =====================================================================
+@query(
+    "salted_join_segments",
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+)
+def q_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events joined to customers through the salted big-big join (events'
+    user_id carries the corpus's natural hot keys), then aggregated per
+    market segment. The salted plan's output is row-identical to the plain
+    join — the oracle runs the plain join, so the equality IS the gate."""
+    from data_validator_guard_spark.operators.uniqueness import salted_equijoin
+
+    events = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "user_id", "event_id"
+    )
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_equijoin(events, customer, on=["c_custkey"], n_salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )

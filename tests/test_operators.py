@@ -1069,3 +1069,30 @@ def test_partition_fingerprint_null_vs_sentinel_distinct(spark):
         partition_fingerprints(a, "grp", ["x", "y"]),
         partition_fingerprints(b, "grp", ["x", "y"]),
     ) == ["p"]
+
+
+def test_salted_equijoin_equals_plain_join_under_skew(spark):
+    """Salted big-big join contract: row-identical to the plain join for
+    inner AND left (including unmatched left rows), with the hot key spread
+    across salts; non-left/inner types are rejected."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.operators.uniqueness import salted_equijoin
+
+    # hot key: 60% of left rows on k=1; some left keys unmatched on right
+    left = spark.createDataFrame(
+        [(1 if i % 10 < 6 else i % 50, i) for i in range(1000)], "k long, lv long"
+    )
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(0, 40)], "k long, rv string")
+
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.lv, r.rv) for r in salted_equijoin(left, right, ["k"], 8, how).collect()
+        )
+        want = sorted((r.k, r.lv, r.rv) for r in left.join(right, ["k"], how).collect())
+        assert got == want, f"{how} join mismatch"
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_equijoin(left, right, ["k"], 8, "full_outer")
+    with _pytest.raises(ValueError, match="n_salts"):
+        salted_equijoin(left, right, ["k"], 0)
