@@ -210,3 +210,83 @@ def test_apply_rulebook_matches_rowwise_simulation(spark, rows, rules):
     out = apply_rulebook(df, rb, key_col=("pid", "num"))
     got = Counter((r.pid, r.num, r.payload) for r in out.collect())
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60, unique=True
+    ),
+    ppm_a=st.integers(min_value=0, max_value=1_000_000),
+    ppm_b=st.integers(min_value=0, max_value=1_000_000),
+)
+def test_hash_sample_nesting_property(spark, ids, ppm_a, ppm_b):
+    """For ANY two fractions a <= b, the a-sample is a subset of the
+    b-sample, and membership is a pure per-row function (subset stability
+    under arbitrary corpus composition comes free from the same fact)."""
+    from data_validator_guard_spark.operators.sampling import hash_sample
+
+    lo, hi = sorted((ppm_a, ppm_b))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    s_lo = {r.doc_id for r in hash_sample(df, "doc_id", lo).collect()}
+    s_hi = {r.doc_id for r in hash_sample(df, "doc_id", hi).collect()}
+    assert s_lo <= s_hi
+    # ppm=0 is empty, ppm=10^6 is everything — the boundary contract
+    if lo == 0:
+        assert s_lo == set()
+    if hi == 1_000_000:
+        assert s_hi == set(ids)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["p", "q"]),
+            st.one_of(st.none(), st.text(alphabet="ab\x1f\x1e|", max_size=4)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_partition_fingerprint_order_insensitive_and_change_sensitive(
+    spark, rows, seed
+):
+    """Fingerprints ignore row order (any permutation fingerprints equal)
+    but never ignore a multiset change (dropping one row flips its
+    partition) — even for values containing the separator/sentinel bytes,
+    because the md5 runs over the per-row image, not a corpus concat."""
+    import random
+
+    from data_validator_guard_spark.operators.snapshot_diff import (
+        changed_partitions,
+        partition_fingerprints,
+    )
+
+    df = spark.createDataFrame(rows, "grp string, x string")
+    shuffled = list(rows)
+    random.Random(seed).shuffle(shuffled)
+    df2 = spark.createDataFrame(shuffled, "grp string, x string").repartition(3)
+    assert (
+        changed_partitions(
+            partition_fingerprints(df, "grp", ["x"]),
+            partition_fingerprints(df2, "grp", ["x"]),
+        )
+        == []
+    )
+    dropped_grp = rows[0][0]
+    df3 = spark.createDataFrame(rows[1:], "grp string, x string") if len(rows) > 1 else spark.createDataFrame([], "grp string, x string")
+    chg = changed_partitions(
+        partition_fingerprints(df, "grp", ["x"]),
+        partition_fingerprints(df3, "grp", ["x"]),
+    )
+    assert dropped_grp in chg
+    # partitions whose row multiset is untouched must NOT be flagged
+    remaining = Counter(r for r in rows[1:])
+    original = Counter(r for r in rows)
+    for grp in {g for g, _ in rows}:
+        g_orig = Counter((g, x) for g, x in original.elements() if g == grp)
+        g_rem = Counter((g, x) for g, x in remaining.elements() if g == grp)
+        if g_orig == g_rem:
+            assert grp not in chg
