@@ -239,3 +239,53 @@ def key_skew_profile(
             ).alias("skew_ratio"),
         )
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    group_col: str,
+    value,
+    n_buckets: int = 4,
+) -> DataFrame:
+    """Per-group counts over EQUI-DEPTH buckets whose edges are the corpus's
+    own exact quantiles — the data-derived binning a drift check wants when
+    fixed edges would leave most buckets empty (content lengths span 5
+    orders of magnitude; percentile cuts track the actual distribution).
+
+    Edges come from :func:`sampling.grouped_exact_quantiles` over a single
+    global group — exact type-1 quantiles from the value-count histogram,
+    never a row sort, and BIGINT cut points so the same edges fall out of
+    any engine bit for bit (the reason drift rules here avoid float
+    quantile sketches). The k-1 cuts broadcast to the scan; bucket id is a
+    sum of integer comparisons. Output: ``group_col, bucket, n`` where
+    bucket b holds values v with ``edge[b-1] < v <= edge[b]`` (bucket 0:
+    ``v <= edge[0]``; bucket k-1: ``v > edge[k-2]``).
+
+    Cost: one value-histogram shuffle for the quantiles (cardinality =
+    distinct values, not rows), one broadcast of k-1 cut points, one
+    (group, bucket) count shuffle. ``n_buckets`` must divide 100 so the
+    cut percentiles stay integers (the exact-rank formula's contract).
+    """
+    from data_validator_guard_spark.operators.sampling import (
+        grouped_exact_quantiles,
+    )
+
+    if n_buckets < 2 or 100 % n_buckets != 0:
+        raise ValueError(
+            f"n_buckets must be >= 2 and divide 100, got {n_buckets}"
+        )
+    pcts = tuple(i * (100 // n_buckets) for i in range(1, n_buckets))
+    v = value if not isinstance(value, str) else F.expr(value)
+    one = df.select(F.lit(1).alias("__g"), v.alias("__v"))
+    cuts = grouped_exact_quantiles(one, "__g", F.col("__v"), pcts).drop(
+        "__g", "n_rows"
+    )
+    bucket = sum(
+        (F.col("__v") > F.col(f"q{p}")).cast("int") for p in pcts
+    ).alias("bucket")
+    return (
+        df.select(F.col(group_col), v.alias("__v"))
+        .crossJoin(F.broadcast(cuts))
+        .groupBy(group_col, bucket)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

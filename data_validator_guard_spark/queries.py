@@ -4904,3 +4904,48 @@ def q_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct(F.col("user_id")).alias("n_users"),
     )
+
+
+# =====================================================================
+# 30. Equi-depth histogram (operators/stats.py): per-group counts over
+#     buckets cut at the corpus's own exact quartiles — data-derived
+#     binning with BIGINT cut points (engine-identical), no row sorts.
+# =====================================================================
+@query(
+    "equidepth_doc_lengths",
+    oracle="""
+WITH hist AS (
+  SELECT CAST(length(text) AS BIGINT) AS v, COUNT(*) AS n FROM documents GROUP BY v
+),
+cum AS (
+  SELECT v,
+         SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf,
+         SUM(n) OVER () AS tot
+  FROM hist
+),
+cuts AS (
+  SELECT
+    CAST(MIN(CASE WHEN cf >= (tot * 25 + 99) // 100 THEN v END) AS BIGINT) AS q25,
+    CAST(MIN(CASE WHEN cf >= (tot * 50 + 99) // 100 THEN v END) AS BIGINT) AS q50,
+    CAST(MIN(CASE WHEN cf >= (tot * 75 + 99) // 100 THEN v END) AS BIGINT) AS q75
+  FROM cum
+)
+SELECT lang,
+       CAST(CASE WHEN length(text) > q25 THEN 1 ELSE 0 END
+          + CASE WHEN length(text) > q50 THEN 1 ELSE 0 END
+          + CASE WHEN length(text) > q75 THEN 1 ELSE 0 END AS INT) AS bucket,
+       COUNT(*) AS n
+FROM documents, cuts
+GROUP BY 1, 2
+""",
+)
+def q_equidepth_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-length distribution per language over GLOBAL equi-depth
+    quartile buckets: the cut points are exact type-1 quantiles from the
+    value-count histogram (BIGINT — identical in any engine), broadcast to
+    the scan; bucket id is a sum of integer comparisons. The binning a
+    drift check wants when fixed edges would leave most buckets empty."""
+    from data_validator_guard_spark.operators.stats import equi_depth_histogram
+
+    docs = read_table(spark, sf_dir, "documents")
+    return equi_depth_histogram(docs, "lang", F.length("text"), n_buckets=4)

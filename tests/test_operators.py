@@ -1096,3 +1096,28 @@ def test_salted_equijoin_equals_plain_join_under_skew(spark):
         salted_equijoin(left, right, ["k"], 8, "full_outer")
     with _pytest.raises(ValueError, match="n_salts"):
         salted_equijoin(left, right, ["k"], 0)
+
+
+def test_equi_depth_histogram_balances_buckets(spark):
+    """Equi-depth contract: on a spread of distinct values the four quartile
+    buckets hold near-equal counts (exactly equal when 4 | n); bucket edges
+    are the exact type-1 quantiles; invalid n_buckets rejected."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.operators.stats import equi_depth_histogram
+
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(1, 101)], "v long, grp string"
+    )
+    got = {r.bucket: r.n for r in equi_depth_histogram(df, "grp", F.col("v"), 4).collect()}
+    assert got == {0: 25, 1: 25, 2: 25, 3: 25}
+
+    # heavily duplicated values: counts still total n and buckets are
+    # consistent with the type-1 cuts (no rows lost or double-counted)
+    dup = spark.createDataFrame([(1, "g")] * 90 + [(100, "g")] * 10, "v long, grp string")
+    got2 = {r.bucket: r.n for r in equi_depth_histogram(dup, "grp", F.col("v"), 4).collect()}
+    assert sum(got2.values()) == 100
+    assert got2[0] == 90 and got2[3] == 10  # q25=q50=q75=1; 100 > 1 -> bucket 3
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        equi_depth_histogram(df, "grp", F.col("v"), 3)
