@@ -4949,3 +4949,93 @@ def q_equidepth_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return equi_depth_histogram(docs, "lang", F.length("text"), n_buckets=4)
+
+
+# =====================================================================
+# 31. Drift over equi-depth edges: the deployment workflow — cut points
+#     derived from the BASELINE snapshot's exact quantiles (BIGINT,
+#     engine-identical), then fixed for the run and fed to the same
+#     fused-histogram PSI path as drift_psi. The tiny cut collect (k-1
+#     integers) mirrors the inline-dim pattern: edges become literals so
+#     bucketize stays a constant-folded expression.
+# =====================================================================
+@query(
+    "drift_psi_equidepth",
+    oracle=f"""
+WITH vhist AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, COUNT(*) AS n
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY v
+),
+vcum AS (
+  SELECT v,
+         SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf,
+         SUM(n) OVER () AS tot
+  FROM vhist
+),
+cuts AS (
+  SELECT
+    CAST(MIN(CASE WHEN cf >= (tot * 25 + 99) // 100 THEN v END) AS BIGINT) AS q25,
+    CAST(MIN(CASE WHEN cf >= (tot * 50 + 99) // 100 THEN v END) AS BIGINT) AS q50,
+    CAST(MIN(CASE WHEN cf >= (tot * 75 + 99) // 100 THEN v END) AS BIGINT) AS q75
+  FROM vcum
+),
+b AS (
+  SELECT doc_id, lang,
+         CASE WHEN n_chars < q25 THEN -1
+              WHEN n_chars < q50 THEN 0
+              WHEN n_chars < q75 THEN 1
+              ELSE 2 END AS bucket
+  FROM documents, cuts
+),
+cur AS (SELECT lang AS grp, bucket, COUNT(*) AS n_cur FROM b WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+base AS (SELECT lang AS grp, bucket, COUNT(*) AS n_base FROM b WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+allb AS (
+  SELECT g.grp, bb.bucket,
+         COALESCE(c.n_cur, 0) AS n_cur, COALESCE(ba.n_base, 0) AS n_base
+  FROM (SELECT DISTINCT grp FROM (SELECT grp FROM cur UNION ALL SELECT grp FROM base)) g
+  CROSS JOIN (SELECT unnest(generate_series(-1, 2)) AS bucket) bb
+  LEFT JOIN cur c ON c.grp = g.grp AND c.bucket = bb.bucket
+  LEFT JOIN base ba ON ba.grp = g.grp AND ba.bucket = bb.bucket
+),
+tot AS (SELECT grp, SUM(n_cur) AS tc, SUM(n_base) AS tb FROM allb GROUP BY grp)
+SELECT a.grp AS lang,
+       round(SUM((CAST(a.n_cur AS DOUBLE) / t.tc + {_DRIFT_EPS}
+                 - CAST(a.n_base AS DOUBLE) / t.tb - {_DRIFT_EPS})
+                * ln((CAST(a.n_cur AS DOUBLE) / t.tc + {_DRIFT_EPS})
+                     / (CAST(a.n_base AS DOUBLE) / t.tb + {_DRIFT_EPS}))), 6) AS psi,
+       CAST(SUM(a.n_cur) AS BIGINT) AS n_cur, CAST(SUM(a.n_base) AS BIGINT) AS n_base
+FROM allb a JOIN tot t ON t.grp = a.grp
+GROUP BY a.grp
+""",
+)
+def q_drift_psi_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI per language between the odd-doc_id (current) and even-doc_id
+    (baseline) halves, over equi-depth buckets cut at the BASELINE half's
+    exact quartiles of n_chars — the binning a real deployment derives
+    from its baseline snapshot and then fixes for the run. Cut points are
+    exact BIGINTs (grouped_exact_quantiles), collected as 3 literals (the
+    inline-dim collect pattern), so bucketize remains a constant-folded
+    expression and the PSI path is byte-identical to drift_psi's."""
+    from data_validator_guard_spark.operators.drift import histogram, psi_report
+    from data_validator_guard_spark.operators.sampling import (
+        grouped_exact_quantiles,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    base_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    cur_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    row = grouped_exact_quantiles(
+        base_docs.withColumn("__g", F.lit(1)), "__g", F.col("n_chars"), (25, 50, 75)
+    ).collect()[0]
+    edges = [float(row.q25), float(row.q50), float(row.q75)]
+    rep = psi_report(
+        histogram(cur_docs, "lang", F.col("n_chars"), edges),
+        histogram(base_docs, "lang", F.col("n_chars"), edges),
+        edges,
+    )
+    return rep.select(
+        F.col("grp").alias("lang"),
+        F.round(F.col("psi"), 6).alias("psi"),
+        "n_cur",
+        "n_base",
+    )
