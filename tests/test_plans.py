@@ -241,3 +241,20 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_left")
         spark.sql("DROP TABLE IF EXISTS t_bkt_right")
+
+
+def test_partition_fingerprints_prune_to_fingerprint_columns(spark):
+    """The incremental-validation economics depend on the fingerprint pass
+    being NARROW: scanning only the partition expression + fingerprint
+    columns. A fingerprint over (doc_id) must not read the 1.5 KB text
+    payload."""
+    from data_validator_guard_spark.operators.snapshot_diff import (
+        partition_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fp = partition_fingerprints(docs, "lang", ["doc_id"])
+    schemas = plans.scan_read_schemas(fp)
+    assert schemas, "expected a parquet scan"
+    assert all("text" not in s for s in schemas), schemas
+    assert all("doc_id" in s and "lang" in s for s in schemas), schemas
