@@ -94,6 +94,14 @@ def mixture_sample(
     group dictionary is a handful of mixture weights, never data-sized).
     """
     for g, v in ppm_by_group.items():
+        if g is None:
+            # F.col == lit(None) is three-valued NULL: the entry would pass
+            # validation but silently never match. NULL groups take
+            # default_ppm by construction — make that explicit.
+            raise ValueError(
+                "ppm_by_group key None is unreachable (col == NULL never "
+                "matches) — NULL groups are sampled at default_ppm"
+            )
         if not (0 <= v <= PPM):
             raise ValueError(f"ppm for group {g!r} must be in [0, {PPM}], got {v}")
     if not (0 <= default_ppm <= PPM):
@@ -142,7 +150,8 @@ def grouped_exact_quantiles(
     then pick, for each q, the smallest value whose running count reaches
     ``ceil(q/100 * n)`` (the classic type-1 / lower-step quantile, exactly
     reproducible in SQL). Returns ``group_col, n_rows, q<p>...`` (one column
-    per requested percentile, BIGINT).
+    per requested percentile, BIGINT). NULL values are excluded — they have
+    no rank, and engines disagree on their window order.
 
     At 10^12 rows the histogram for e.g. content length is |group| x
     |distinct lengths| — millions, not trillions; the only window runs over
@@ -150,8 +159,14 @@ def grouped_exact_quantiles(
     """
     if not quantiles_pct or any(not (0 < q <= 100) for q in quantiles_pct):
         raise ValueError(f"quantiles_pct must be in (0, 100], got {quantiles_pct}")
-    hist = df.groupBy(F.col(group_col), value.cast("bigint").alias("__v")).agg(
-        F.count(F.lit(1)).alias("__n")
+    # NULL values have no rank and would be window-ordered engine-dependently
+    # (Spark NULLS FIRST vs DuckDB NULLS LAST) — exclude them from the
+    # histogram so quantiles and n_rows cover exactly the non-NULL values.
+    hist = (
+        df.select(F.col(group_col), value.cast("bigint").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy(group_col, "__v")
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
     w = (
         Window.partitionBy(group_col)

@@ -9,7 +9,7 @@ way:
 1. **Fingerprint** each partition of both snapshots in ONE aggregation pass
    per side: per partition, the exact row count plus two order-insensitive
    96-bit-wide hash sums (the two 48-bit halves of ``md5`` over the
-   sentinel-joined row image, summed exactly in ``decimal(38,0)``). A sum is
+   per-field-hashed row image, summed exactly in ``decimal(38,0)``). A sum is
    commutative and multiplicity-sensitive, so any insert / delete / update /
    duplicate-count change flips the fingerprint regardless of row order or
    physical layout — and the same arithmetic is bit-identical in any engine
@@ -45,29 +45,28 @@ from pyspark.sql import functions as F
 
 from data_validator_guard_spark.rules import RuleSuite
 
-# Column sentinel (chr 30, record separator) + field delimiter (chr 31, unit
-# separator): NULLs become a sentinel BEFORE the join so ('a', NULL) and
-# (NULL, 'a') produce different row images (concat_ws alone would silently
-# skip the NULL and collide them).
-_NULL_SENTINEL = "\x1e"
-_FIELD_SEP = "\x1f"
-
-
 def _partition_col(suite_partition_by: str) -> Column:
     # identical null-safe rendering to engine.validate's partition column
     return F.coalesce(F.expr(suite_partition_by).cast("string"), F.lit("__null__"))
 
 
 def _row_image(cols: Sequence[str]) -> Column:
-    return F.md5(
-        F.concat_ws(
-            _FIELD_SEP,
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
-                for c in cols
-            ],
+    """md5 over the concatenation of PER-FIELD md5s (each tagged 'v:'/'n:'
+    for value-vs-NULL). Hashing each field first makes the row image immune
+    to delimiter injection — a naive ``concat_ws(sep, ...)`` image collides
+    ('a'+sep, 'b') with ('a', sep+'b') and NULL with a literal sentinel
+    byte, which on arbitrary-bytes columns (source-code ``content``) would
+    let a real edit slip past the fingerprint. Field hashes are fixed-width
+    hex, so plain concatenation is unambiguous."""
+    fields = [
+        F.md5(
+            F.when(F.col(c).isNull(), F.lit("n:")).otherwise(
+                F.concat(F.lit("v:"), F.col(c).cast("string"))
+            )
         )
-    )
+        for c in cols
+    ]
+    return F.md5(F.concat_ws("", *fields))
 
 
 def partition_fingerprints(

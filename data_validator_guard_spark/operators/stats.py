@@ -259,7 +259,8 @@ def equi_depth_histogram(
     quantile sketches). The k-1 cuts broadcast to the scan; bucket id is a
     sum of integer comparisons. Output: ``group_col, bucket, n`` where
     bucket b holds values v with ``edge[b-1] < v <= edge[b]`` (bucket 0:
-    ``v <= edge[0]``; bucket k-1: ``v > edge[k-2]``).
+    ``v <= edge[0]``; bucket k-1: ``v > edge[k-2]``). NULL values are
+    excluded from both the cuts and the counts.
 
     Cost: one value-histogram shuffle for the quantiles (cardinality =
     distinct values, not rows), one broadcast of k-1 cut points, one
@@ -276,7 +277,13 @@ def equi_depth_histogram(
         )
     pcts = tuple(i * (100 // n_buckets) for i in range(1, n_buckets))
     v = value if not isinstance(value, str) else F.expr(value)
-    one = df.select(F.lit(1).alias("__g"), v.alias("__v"))
+    # NULL values are excluded from both the cuts and the counts: a NULL has
+    # no rank (the quantile window would also order it engine-dependently)
+    # and (NULL > cut) is three-valued — without the filter those rows would
+    # silently land in a NULL bucket.
+    one = df.select(F.lit(1).alias("__g"), v.alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
     cuts = grouped_exact_quantiles(one, "__g", F.col("__v"), pcts).drop(
         "__g", "n_rows"
     )
@@ -285,6 +292,7 @@ def equi_depth_histogram(
     ).alias("bucket")
     return (
         df.select(F.col(group_col), v.alias("__v"))
+        .filter(F.col("__v").isNotNull())
         .crossJoin(F.broadcast(cuts))
         .groupBy(group_col, bucket)
         .agg(F.count(F.lit(1)).alias("n"))

@@ -73,6 +73,11 @@ def salted_equijoin(
         )
     if n_salts <= 0:
         raise ValueError(f"n_salts must be positive, got {n_salts}")
+    if "__salt" in left.columns or "__salt" in right.columns:
+        # unlike the engine's internal uses (fresh projections), this is a
+        # public operator over arbitrary frames — withColumn would silently
+        # clobber and drop a real user column of that name.
+        raise ValueError("inputs must not already have a '__salt' column")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     l = left.withColumn("__salt", salt)
     r = right.withColumn(

@@ -4368,7 +4368,7 @@ def q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANTILES_ORACLE = """
 WITH hist AS (
   SELECT lang, CAST(length(text) AS BIGINT) AS v, COUNT(*) AS n
-  FROM documents GROUP BY lang, v
+  FROM documents WHERE text IS NOT NULL GROUP BY lang, v
 ),
 cum AS (
   SELECT lang, v,
@@ -4770,13 +4770,18 @@ def _hexn_sql(hash_expr: str, start: int, n: int) -> str:
     return acc
 
 
+def _inc_field(expr: str) -> str:
+    # per-field md5 with a value/NULL tag — the injection-proof row image
+    # (mirrors snapshot_diff._row_image)
+    return f"md5(CASE WHEN {expr} IS NULL THEN 'n:' ELSE 'v:' || CAST({expr} AS VARCHAR) END)"
+
+
 _INC_IMG = (
-    "md5(concat_ws(chr(31), "
-    "COALESCE(CAST(doc_id AS VARCHAR), chr(30)), "
-    "COALESCE(text, chr(30)), "
-    "COALESCE(lang, chr(30)), "
-    "COALESCE(source, chr(30)), "
-    "COALESCE(CAST(n_chars AS VARCHAR), chr(30))))"
+    "md5("
+    + " || ".join(
+        _inc_field(c) for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    + ")"
 )
 
 _INCREMENTAL_ORACLE = f"""
@@ -4915,7 +4920,8 @@ def q_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equidepth_doc_lengths",
     oracle="""
 WITH hist AS (
-  SELECT CAST(length(text) AS BIGINT) AS v, COUNT(*) AS n FROM documents GROUP BY v
+  SELECT CAST(length(text) AS BIGINT) AS v, COUNT(*) AS n
+  FROM documents WHERE text IS NOT NULL GROUP BY v
 ),
 cum AS (
   SELECT v,
@@ -4936,6 +4942,7 @@ SELECT lang,
           + CASE WHEN length(text) > q75 THEN 1 ELSE 0 END AS INT) AS bucket,
        COUNT(*) AS n
 FROM documents, cuts
+WHERE text IS NOT NULL
 GROUP BY 1, 2
 """,
 )
@@ -4964,7 +4971,7 @@ def q_equidepth_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH vhist AS (
   SELECT CAST(n_chars AS BIGINT) AS v, COUNT(*) AS n
-  FROM documents WHERE doc_id % 2 = 0 GROUP BY v
+  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY v
 ),
 vcum AS (
   SELECT v,

@@ -268,28 +268,6 @@ def read_excel(
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_cols: list[str],
-    n_buckets: int,
-    sort_cols: list[str] | None = None,
-) -> None:
-    """Bucketed (and optionally sorted) managed-table sink — the co-located
-    join primitive: two tables bucketed on the same key with the same bucket
-    count join WITHOUT a shuffle (each bucket pair joins locally), and
-    repeated joins/aggregations on the bucket key skip their exchange
-    forever after. This is the batch analog of Iceberg's bucket partition
-    transform; at 10^12 rows, pre-bucketing the fact table by repo-hash is
-    what makes every later per-repo join/agg a map-side operation.
-    `tests/test_plans.py` asserts the shuffle-free join plan.
-    """
-    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
-    if sort_cols:
-        w = w.sortBy(*sort_cols)
-    w.saveAsTable(table)
-
-
-def write_bucketed(
-    df: DataFrame,
-    table: str,
     bucket_cols: Sequence[str],
     n_buckets: int,
     sort_cols: Sequence[str] | None = None,
@@ -301,7 +279,7 @@ def write_bucketed(
     catalog, so every later equi-join or aggregation on the bucket key reads
     the co-located layout and skips its shuffle entirely (the physical plan
     has NO Exchange on the bucketed side — plan-asserted in
-    tests/test_registry.py). ``sort_cols`` additionally sorts within each
+    tests/test_plans.py). ``sort_cols`` additionally sorts within each
     bucket file, which lets a sort-merge join skip its per-task sort.
 
     This is the materialize-once-join-many primitive at 100 TB: the

@@ -1121,3 +1121,66 @@ def test_equi_depth_histogram_balances_buckets(spark):
 
     with _pytest.raises(ValueError, match="n_buckets"):
         equi_depth_histogram(df, "grp", F.col("v"), 3)
+
+
+def test_fingerprint_immune_to_delimiter_injection(spark):
+    """Review regression: a naive separator-joined row image collides
+    ('a\\x1f','b') with ('a','\\x1fb') and NULL with a literal sentinel
+    byte. The per-field-hash image must flag all such edits."""
+    from data_validator_guard_spark.operators.snapshot_diff import (
+        changed_partitions,
+        partition_fingerprints,
+    )
+
+    schema = "grp string, x string, y string"
+    cases = [
+        ([("p", "a\x1f", "b")], [("p", "a", "\x1fb")]),   # boundary shift
+        ([("p", None, "b")], [("p", "\x1e", "b")]),       # NULL vs sentinel byte
+        ([("p", "v:a", "b")], [("p", "a", "b")]),         # tag spoof attempt
+    ]
+    for old_rows, new_rows in cases:
+        chg = changed_partitions(
+            partition_fingerprints(spark.createDataFrame(old_rows, schema), "grp", ["x", "y"]),
+            partition_fingerprints(spark.createDataFrame(new_rows, schema), "grp", ["x", "y"]),
+        )
+        assert chg == ["p"], f"edit {old_rows} -> {new_rows} not detected"
+
+
+def test_mixture_sample_rejects_none_key(spark):
+    """Review regression: a None key in ppm_by_group would compile to
+    col == NULL (never matches) — must fail loudly instead."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, grp string")
+    with _pytest.raises(ValueError, match="None is unreachable"):
+        mixture_sample(df, "grp", "doc_id", {None: 500_000})
+
+
+def test_salted_equijoin_rejects_existing_salt_column(spark):
+    """Review regression: a pre-existing '__salt' user column would be
+    silently clobbered and dropped — must fail loudly instead."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.operators.uniqueness import salted_equijoin
+
+    l = spark.createDataFrame([(1, 0)], "k long, __salt long")
+    r = spark.createDataFrame([(1, "x")], "k long, v string")
+    with _pytest.raises(ValueError, match="__salt"):
+        salted_equijoin(l, r, ["k"])
+    with _pytest.raises(ValueError, match="__salt"):
+        salted_equijoin(r, l, ["k"])
+
+
+def test_equi_depth_histogram_excludes_nulls(spark):
+    """Review regression: NULL values must be excluded from cuts AND counts
+    (they'd land in a NULL bucket and shift quantile ranks engine-
+    dependently), never silently bucketed."""
+    from data_validator_guard_spark.operators.stats import equi_depth_histogram
+
+    rows = [(i, "g") for i in range(1, 101)] + [(None, "g")] * 40
+    df = spark.createDataFrame(rows, "v long, grp string")
+    got = {r.bucket: r.n for r in equi_depth_histogram(df, "grp", F.col("v"), 4).collect()}
+    assert got == {0: 25, 1: 25, 2: 25, 3: 25}  # identical to the NULL-free corpus
+    assert None not in got

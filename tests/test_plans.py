@@ -165,30 +165,6 @@ def test_topk_compiles_to_take_ordered_not_global_window(spark):
     )
 
 
-def test_bucketed_tables_join_without_shuffle(spark, docs, tmp_path):
-    """Two tables bucketed on the same key and count must sort-merge join
-    with NO shuffle exchange — the co-located join the engine relies on for
-    repeated per-repo work at scale."""
-    from data_validator_guard_spark.sources import write_bucketed
-
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdb LOCATION '{tmp_path}/buckdb'")
-    try:
-        left = docs.select("doc_id", "lang")
-        right = docs.select("doc_id", "n_chars")
-        write_bucketed(left, "buckdb.t_left", ["doc_id"], 8)
-        write_bucketed(right, "buckdb.t_right", ["doc_id"], 8)
-        joined = spark.table("buckdb.t_left").join(
-            spark.table("buckdb.t_right"), "doc_id"
-        )
-        s = plans.plan_string(joined)
-        assert "Exchange hashpartitioning" not in s, s
-        # and the same-key aggregation is shuffle-free too
-        agg = spark.table("buckdb.t_left").groupBy("doc_id").count()
-        assert "Exchange hashpartitioning" not in plans.plan_string(agg)
-    finally:
-        spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
-
-
 def test_approx_percentile_within_error_of_exact(spark, docs):
     """The 10^12-row percentile path is approx_percentile (single-pass
     sketch, no global sort); pin its accuracy against the exact value so the
@@ -232,10 +208,19 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         assert plans.shuffle_exchange_count(agg) == 0, plans.plan_string(agg)
         assert agg.count() == 1000
 
-        # control: the same join over path-read (spec-less) parquet DOES
-        # shuffle — the catalog spec, not the file layout, carries the win
-        lp = left
-        rp = right
+        # control: path-reading the SAME bucketed files loses the catalog
+        # spec, so the identical join DOES shuffle — the spec, not the file
+        # layout, carries the win
+        loc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED t_bkt_left").collect()
+        }["Location"]
+        locr = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED t_bkt_right").collect()
+        }["Location"]
+        lp = spark.read.parquet(loc)
+        rp = spark.read.parquet(locr)
         control = lp.join(rp.hint("merge"), "id")
         assert plans.shuffle_exchange_count(control) > 0
     finally:
