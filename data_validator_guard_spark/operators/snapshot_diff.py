@@ -50,18 +50,42 @@ def _partition_col(suite_partition_by: str) -> Column:
     return F.coalesce(F.expr(suite_partition_by).cast("string"), F.lit("__null__"))
 
 
-def _row_image(cols: Sequence[str]) -> Column:
+def _canonical_field(df: DataFrame, c: str) -> Column:
+    """Session-config-independent string rendering of a fingerprint field.
+
+    A cast-to-string image is only as stable as the type's rendering:
+    timestamps render under ``spark.sql.session.timeZone`` (a config change
+    would flip every fingerprint and mark the whole corpus changed), and
+    binary casts are not printable at all. Canonicalize the two offenders —
+    timestamp → epoch micros (an integer, timezone-free), binary → hex —
+    before hashing. The remaining types (strings, integers, dates, booleans,
+    decimals) render identically across sessions; float/double rendering is
+    session-stable in Spark but ENGINE-specific (1.0E-4 vs 0.0001) — when a
+    fingerprint must be reproduced outside Spark, prefer integer/string
+    fingerprint columns or pre-round floats to a fixed decimal."""
+    dt = df.schema[c].dataType.simpleString()
+    col = F.col(c)
+    if dt.startswith("timestamp"):
+        return F.unix_micros(col).cast("string")
+    if dt == "binary":
+        return F.hex(col)
+    return col.cast("string")
+
+
+def _row_image(df: DataFrame, cols: Sequence[str]) -> Column:
     """md5 over the concatenation of PER-FIELD md5s (each tagged 'v:'/'n:'
     for value-vs-NULL). Hashing each field first makes the row image immune
     to delimiter injection — a naive ``concat_ws(sep, ...)`` image collides
     ('a'+sep, 'b') with ('a', sep+'b') and NULL with a literal sentinel
     byte, which on arbitrary-bytes columns (source-code ``content``) would
     let a real edit slip past the fingerprint. Field hashes are fixed-width
-    hex, so plain concatenation is unambiguous."""
+    hex, so plain concatenation is unambiguous. Fields are canonicalized
+    first (see :func:`_canonical_field`) so the image does not depend on
+    session timezone or binary rendering."""
     fields = [
         F.md5(
             F.when(F.col(c).isNull(), F.lit("n:")).otherwise(
-                F.concat(F.lit("v:"), F.col(c).cast("string"))
+                F.concat(F.lit("v:"), _canonical_field(df, c))
             )
         )
         for c in cols
@@ -76,7 +100,7 @@ def partition_fingerprints(
     fp_lo/fp_hi are exact decimal(38,0) sums of the two 48-bit halves of
     md5 over the row image. Order-insensitive, multiplicity-sensitive,
     engine-portable."""
-    img = _row_image(fingerprint_cols)
+    img = _row_image(df, fingerprint_cols)
     lo = F.conv(F.substring(img, 1, 12), 16, 10).cast("bigint").cast("decimal(38,0)")
     hi = F.conv(F.substring(img, 13, 12), 16, 10).cast("bigint").cast("decimal(38,0)")
     return df.groupBy(_partition_col(partition_by).alias("partition")).agg(
@@ -126,22 +150,55 @@ def changed_partitions(
     return sorted(r[0] for r in rows)
 
 
-def incremental_validate(
+def _check_prior_rule_ids(prior_verdicts: DataFrame, suite: RuleSuite) -> None:
+    """Fail fast when a stored prior-verdict frame was produced with a
+    DIFFERENT rule set than ``suite`` — silently merging it would yield
+    missing/extra rules on every unchanged partition. The check is one tiny
+    aggregation over the (rules x partitions)-sized prior frame, bounded by
+    ``limit`` so a miswired giant frame cannot flood the driver."""
+    want = {r.rule_id for r in suite.rules}
+    rows = prior_verdicts.select("rule_id").distinct().limit(len(want) + 2).collect()
+    got = {r[0] for r in rows}
+    if got != want:
+        raise ValueError(
+            "prior_verdicts rule set does not match the suite: "
+            f"missing={sorted(want - got)} extra={sorted(got - want)[:5]} — "
+            "carried partitions would silently keep stale/absent rules; "
+            "re-run a full validate when the rulebook changes"
+        )
+
+
+def incremental_validate_full(
     old_df: DataFrame,
     new_df: DataFrame,
     suite: RuleSuite,
     prior_verdicts: DataFrame | None = None,
+    prior_violations: DataFrame | None = None,
     fingerprint_cols: Sequence[str] | None = None,
     max_partitions: int = 100_000,
-) -> DataFrame:
-    """Verdicts for the NEW snapshot, recomputing only changed partitions.
+) -> tuple[DataFrame, DataFrame]:
+    """Verdicts AND violations for the NEW snapshot, recomputing only
+    changed partitions.
 
-    Returns the full verdict frame (``rule_id, partition, pass, n_rows,
-    n_violations``) plus ``recomputed`` — True where this run actually
-    re-scanned the partition, False where the verdict is carried from
-    ``prior_verdicts`` (defaults to validating ``old_df``, which a real
-    deployment replaces with the stored output of the previous run — the
-    ledger already persists exactly this frame per snapshot).
+    Returns ``(verdicts, violations)``:
+    - verdicts: ``rule_id, partition, pass, n_rows, n_violations,
+      recomputed`` — ``recomputed`` True where this run re-scanned the
+      partition, False where the row is carried from ``prior_verdicts``;
+    - violations: ``rule_id, partition, keys, detail, recomputed`` — same
+      carry/recompute split. Every rule family here is partition-local by
+      construction (row rules are per-row; unique/group_consistency group
+      within the partition; FK/join_consistency check each row against a
+      fixed dim; drift compares each partition's histogram to a fixed
+      baseline), so an unchanged partition's violations are bit-identical
+      to what a full re-run would produce — the parity pytest pins this.
+
+    ``prior_verdicts`` / ``prior_violations`` default to validating
+    ``old_df`` inline; a real deployment passes the stored outputs of the
+    previous run (the ledger persists exactly these frames per snapshot —
+    the reference's clone-then-clean cycle, `database/db.py:113-126`, kept
+    both too). A user-supplied ``prior_verdicts`` is checked for rule-set
+    agreement with ``suite`` and rejected on mismatch (a prior frame from a
+    different rulebook would silently merge missing/extra rules).
 
     Scale shape: 2 fingerprint scans (narrow: partition expr + fingerprint
     columns), a partition-count-sized diff, then ONE re-validation whose
@@ -158,11 +215,48 @@ def incremental_validate(
     )
     part = _partition_col(suite.partition_by)
     if prior_verdicts is None:
-        prior_verdicts, _ = validate(old_df, suite)
-    carried = prior_verdicts.filter(~F.col("partition").isin(changed)).withColumn(
+        if prior_violations is None:
+            prior_verdicts, prior_violations = validate(old_df, suite)
+        else:
+            prior_verdicts, _ = validate(old_df, suite)
+    else:
+        # only user-supplied frames need the guard: an inline-computed prior
+        # shares the suite by construction.
+        _check_prior_rule_ids(prior_verdicts, suite)
+        if prior_violations is None:
+            _, prior_violations = validate(old_df, suite)
+    carried_v = prior_verdicts.filter(~F.col("partition").isin(changed)).withColumn(
+        "recomputed", F.lit(False)
+    )
+    carried_x = prior_violations.filter(~F.col("partition").isin(changed)).withColumn(
         "recomputed", F.lit(False)
     )
     if not changed:
-        return carried
-    fresh, _ = validate(new_df.filter(part.isin(changed)), suite)
-    return carried.unionByName(fresh.withColumn("recomputed", F.lit(True)))
+        return carried_v, carried_x
+    fresh_v, fresh_x = validate(new_df.filter(part.isin(changed)), suite)
+    return (
+        carried_v.unionByName(fresh_v.withColumn("recomputed", F.lit(True))),
+        carried_x.unionByName(fresh_x.withColumn("recomputed", F.lit(True))),
+    )
+
+
+def incremental_validate(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    suite: RuleSuite,
+    prior_verdicts: DataFrame | None = None,
+    fingerprint_cols: Sequence[str] | None = None,
+    max_partitions: int = 100_000,
+) -> DataFrame:
+    """Verdicts-only form of :func:`incremental_validate_full` (kept for
+    callers that never sink violation rows — materializing only this frame
+    never executes the violation scan; both outputs stay lazy)."""
+    verdicts, _ = incremental_validate_full(
+        old_df,
+        new_df,
+        suite,
+        prior_verdicts=prior_verdicts,
+        fingerprint_cols=fingerprint_cols,
+        max_partitions=max_partitions,
+    )
+    return verdicts
