@@ -1292,3 +1292,40 @@ def test_fingerprint_canonicalizes_timestamp_and_binary(spark):
         partition_fingerprints(df, "grp", cols),
         partition_fingerprints(df2, "grp", cols),
     ) == ["p"]
+
+
+def test_stratified_sample_skewed_stratum_two_phase(spark):
+    """Round-4 weak-item fix: a stratum holding >= 50% of all rows must (a)
+    still produce the exact same winner set as the definitional n-smallest-
+    md5 pick, and (b) never be sorted by a single task — every rank window
+    over raw rows partitions by (stratum, salt), so per-task state is
+    |stratum|/n_salts, not |stratum|."""
+    from data_validator_guard_spark.operators.sampling import stratified_sample_n
+
+    # 'hot' = 70% of rows
+    rows = [(i, "hot" if i % 10 < 7 else f"c{i % 3}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sorted(
+        (r.doc_id, r.lang)
+        for r in stratified_sample_n(df, "lang", "doc_id", 25, n_salts=8).collect()
+    )
+    # brute-force definitional winners: n smallest md5(id) per stratum
+    import hashlib
+
+    by_stratum: dict[str, list[tuple[str, int]]] = {}
+    for i, lang in rows:
+        by_stratum.setdefault(lang, []).append(
+            (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )
+    want = sorted(
+        (i, lang)
+        for lang, hs in by_stratum.items()
+        for _, i in sorted(hs)[:25]
+    )
+    assert got == want
+    # n_salts=1 degenerates to the single-window pick — same winners
+    got1 = sorted(
+        (r.doc_id, r.lang)
+        for r in stratified_sample_n(df, "lang", "doc_id", 25, n_salts=1).collect()
+    )
+    assert got1 == want

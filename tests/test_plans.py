@@ -243,3 +243,29 @@ def test_partition_fingerprints_prune_to_fingerprint_columns(spark):
     assert schemas, "expected a parquet scan"
     assert all("text" not in s for s in schemas), schemas
     assert all("doc_id" in s and "lang" in s for s in schemas), schemas
+
+
+def test_stratified_sample_has_no_full_stratum_window_sort(spark):
+    """Round-4 weak-item fix (stratified_sample_n): no Window in the plan
+    may partition raw rows by the stratum alone — phase 1 must rank within
+    (stratum, salt) so a hot stratum spreads over n_salts tasks; the only
+    stratum-wide window runs over the <= n_salts*n candidate rows."""
+    import re
+
+    from data_validator_guard_spark.operators.sampling import stratified_sample_n
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = stratified_sample_n(docs, "lang", "doc_id", 10, n_salts=16)
+    s = plans.plan_string(out)
+    # formatted plan: each Window node's Arguments line is
+    #   [window exprs], [partition spec], [order spec]
+    blocks = re.findall(r"\(\d+\) Window\nInput[^\n]*\nArguments: \[.*?\], \[([^\]]*)\], \[", s)
+    assert blocks, f"no Window found in plan:\n{s}"
+    salted = [b for b in blocks if "__salt" in b]
+    unsalted = [b for b in blocks if "__salt" not in b]
+    # phase 1 (raw rows) ranks within (stratum, salt); phase 2 (candidate
+    # merge, <= n_salts*n rows per stratum) is the only stratum-only window
+    assert len(salted) == 1 and len(unsalted) == 1, blocks
+    # and Spark inserts WindowGroupLimit above/below the exchange, so even
+    # the shuffle carries at most n rows per (stratum, salt) group
+    assert "WindowGroupLimit" in s
