@@ -240,6 +240,60 @@ def incremental_validate_full(
     )
 
 
+def incremental_column_stats(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    columns: Sequence[str],
+    partition_by: str,
+    prior_partials: DataFrame | None = None,
+    fingerprint_cols: Sequence[str] | None = None,
+    max_partitions: int = 100_000,
+) -> DataFrame:
+    """Per-partition mergeable stat partials for the NEW snapshot,
+    recomputing only changed partitions — the stats twin of
+    :func:`incremental_validate_full` (round-4 verdict #3).
+
+    Returns ``stats.PARTIAL_STATS_COLS`` plus ``recomputed``: carried rows
+    come from ``prior_partials`` (defaults to computing them from
+    ``old_df``; a deployment passes the stored partials of the previous
+    run), fresh rows from ONE ``partial_column_stats`` pass over only the
+    changed partitions. Every partial measure is partition-local and
+    mergeable (counts/sums/min/max add or fold; cardinality is an HLL
+    sketch), so ``stats.merge_column_stats`` over this frame equals a full
+    recompute: exactly for every algebraic measure and bit-for-bit for the
+    carried sketches themselves (the parity pytest pins both). One honest
+    caveat: the merged HLL *estimate* can differ by ~the sketch's error
+    between two merges even over identical input sketches — Spark's
+    ``hll_union_agg`` keeps the insertion-order HIP accumulator only for
+    the first-presented sketch, so the estimator (not the registers) is
+    presentation-order-sensitive; the pytest pins both merge paths within
+    the sketch's error bounds of the exact cardinality.
+
+    Scale shape: 2 narrow fingerprint scans + 1 stats scan of the changed
+    partitions only; history is never re-read.
+    """
+    from data_validator_guard_spark.operators.stats import partial_column_stats
+
+    fcols = list(fingerprint_cols) if fingerprint_cols else list(new_df.columns)
+    changed = changed_partitions(
+        partition_fingerprints(old_df, partition_by, fcols),
+        partition_fingerprints(new_df, partition_by, fcols),
+        max_partitions=max_partitions,
+    )
+    if prior_partials is None:
+        prior_partials = partial_column_stats(old_df, list(columns), partition_by)
+    carried = prior_partials.filter(~F.col("partition").isin(changed)).withColumn(
+        "recomputed", F.lit(False)
+    )
+    if not changed:
+        return carried
+    part = _partition_col(partition_by)
+    fresh = partial_column_stats(
+        new_df.filter(part.isin(changed)), list(columns), partition_by
+    )
+    return carried.unionByName(fresh.withColumn("recomputed", F.lit(True)))
+
+
 def incremental_validate(
     old_df: DataFrame,
     new_df: DataFrame,
