@@ -387,12 +387,25 @@ def _join_consistency_violations(
 
 
 def _group_consistency_violations(df: DataFrame, rule: Rule, part: Column) -> DataFrame:
-    """Within-group single-value check (rule 11, `maganamed_validation.py:216-248`)."""
+    """Within-group single-value check (rule 11, `maganamed_validation.py:216-248`).
+
+    NULL semantics (round-4 verdict #5): by default ``count_distinct``
+    ignores NULLs, so a group {X, NULL, NULL} PASSES — NULL is treated as
+    "no statement", not a conflicting value. The reference deviates: its
+    ``x == x.iloc[0]`` evaluates NaN comparisons False and flags such
+    groups. ``params["count_nulls"]=True`` restores reference parity by
+    counting NULL as one extra distinct value when the group has any NULL —
+    one extra ``max(isNull)`` folded into the SAME aggregation (no second
+    scan). A group of ONLY NULLs still passes under both settings (0 or 1
+    "values"; nothing to disagree with)."""
     group_col = rule.params["group_by"]
     value_col = rule.columns[0]
+    nd = F.count_distinct(F.col(value_col))
+    if rule.params.get("count_nulls"):
+        nd = nd + F.max(F.col(value_col).isNull().cast("int"))
     grouped = (
         df.groupBy(part.alias("partition"), F.col(group_col))
-        .agg(F.count_distinct(F.col(value_col)).alias("__nd"))
+        .agg(nd.alias("__nd"))
         .filter(F.col("__nd") > 1)
     )
     return grouped.select(

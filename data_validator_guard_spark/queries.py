@@ -266,6 +266,74 @@ def q_group_consistency_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# 5b. Group-consistency NULL semantics (round-4 verdict #5): the default
+#     ignores NULLs ({X, NULL} passes — NULL is "no statement"); with
+#     params["count_nulls"]=True a NULL counts as one extra distinct value
+#     (reference parity: its x == x.iloc[0] flags NaN rows). Both variants
+#     run in ONE suite; groups are constructed so the two verdicts differ.
+# =====================================================================
+@query(
+    "group_consistency_nulls",
+    oracle="""
+WITH t AS (
+  SELECT doc_id % 101 AS g,
+         CASE WHEN doc_id % 3 = 0 THEN NULL
+              WHEN doc_id % 997 = 0 THEN 99
+              ELSE (doc_id % 101) % 5 END AS v
+  FROM documents
+),
+agg AS (
+  SELECT g, COUNT(DISTINCT v) AS nd,
+         MAX(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS has_null
+  FROM t GROUP BY g
+),
+c AS (
+  SELECT CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_def,
+         CAST(SUM(CASE WHEN nd + has_null > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_null
+  FROM agg
+),
+n AS (SELECT COUNT(*) AS n_rows FROM t)
+SELECT 'value_consistent' AS rule_id, '__all__' AS "partition",
+       v_def = 0 AS pass, n_rows, v_def AS n_violations FROM c, n
+UNION ALL
+SELECT 'value_consistent_nulls', '__all__', v_null = 0, n_rows, v_null FROM c, n
+""",
+)
+def q_group_consistency_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted groups where the non-NULL values agree but NULLs are present
+    ({X, NULL}): the default rule passes them, the count_nulls variant
+    flags them; groups containing a doc_id % 997 == 0 row carry a second
+    real value and are flagged by BOTH. Verdicts for the two rules come
+    out of the same engine run."""
+    from data_validator_guard_spark.engine import validate
+
+    docs = read_table(spark, sf_dir, "documents")
+    g = F.col("doc_id") % 101
+    df = docs.select(
+        g.alias("g"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("bigint"))
+        .when(F.col("doc_id") % 997 == 0, F.lit(99).cast("bigint"))
+        .otherwise((g % 5).cast("bigint"))
+        .alias("v"),
+    )
+    suite = RuleSuite(
+        name="gc_nulls",
+        rules=[
+            Rule("value_consistent", "group_consistency", ("v",), {"group_by": "g"}),
+            Rule(
+                "value_consistent_nulls",
+                "group_consistency",
+                ("v",),
+                {"group_by": "g", "count_nulls": True},
+            ),
+        ],
+        key_cols=("g",),
+    )
+    verdicts, _ = validate(df, suite)
+    return verdicts
+
+
+# =====================================================================
 # 6. Aggregation pipeline (TPC-H Q1 shape): pruned scan → fused agg.
 #    Double sums go through per-addend DECIMAL casts (exact accumulation).
 # =====================================================================

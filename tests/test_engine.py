@@ -632,3 +632,33 @@ def test_violation_sampling_bounds_emission_not_counts(spark):
 
     with _pytest.raises(ValueError, match="violation_sample_ppm"):
         validate(df, mk(), violation_sample_ppm=2_000_000)[1].count()
+
+
+def test_group_consistency_count_nulls_semantics(spark):
+    """Round-4 verdict #5: default ignores NULLs ({X, NULL, NULL} passes);
+    count_nulls=True treats NULL as one extra distinct value (reference
+    parity with x == x.iloc[0] NaN behavior); an all-NULL group passes
+    under BOTH settings (nothing to disagree with)."""
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    rows = [
+        ("g1", "X"), ("g1", None), ("g1", None),   # consistent + NULLs
+        ("g2", "A"), ("g2", "B"),                   # genuinely inconsistent
+        ("g3", None), ("g3", None),                 # all NULL
+        ("g4", "Y"), ("g4", "Y"),                   # clean
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    suite = RuleSuite(
+        name="gc",
+        rules=[
+            Rule("gc_default", "group_consistency", ("v",), {"group_by": "g"}),
+            Rule("gc_nulls", "group_consistency", ("v",), {"group_by": "g", "count_nulls": True}),
+        ],
+        key_cols=("g",),
+    )
+    verdicts, violations = validate(df, suite)
+    nv = {r.rule_id: r.n_violations for r in verdicts.collect()}
+    assert nv == {"gc_default": 1, "gc_nulls": 2}
+    flagged = {(r.rule_id, r.keys) for r in violations.collect()}
+    assert flagged == {("gc_default", "g2"), ("gc_nulls", "g1"), ("gc_nulls", "g2")}
