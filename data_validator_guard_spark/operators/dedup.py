@@ -624,3 +624,39 @@ def connected_components(
             "silently WRONG)"
         )
     return labels.select("id", F.col("label").alias("cluster"))
+
+
+def apply_survivorship(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    quality: Column | None = None,
+) -> DataFrame:
+    """Keep exactly ONE row per near-dup cluster — the highest-``quality``
+    copy, ties broken by the smallest id (round-4 verdict #6: a training
+    pipeline keeps the BEST copy of a duplicate cluster, not the first;
+    keep-min-id silently prefers whichever copy was ingested earliest).
+
+    ``clusters``: the ``(id, cluster)`` frame from
+    :func:`connected_components` (documents with no near-dup form their own
+    singleton cluster and survive unchanged). ``quality``: any numeric
+    Column over ``df``'s columns — e.g. ``quality_features``'s score, a
+    length, or a composite; ``None`` degenerates to keep-min-id (the
+    ``exact_duplicates`` survivor rule).
+
+    Shape at scale: one narrow (id, quality) projection joined to the
+    cluster map, one groupBy(cluster) min over a 2-field struct
+    (``(-quality, id)`` — max-quality-then-min-id as a single total order),
+    then a semi-join of the winner ids back to the full rows. The winner
+    set is one row per cluster, so the final semi-join broadcasts in
+    practice; nothing ever sorts a cluster's rows.
+    """
+    q = quality if quality is not None else F.lit(0)
+    ranked = (
+        df.select(F.col(id_col).alias("__sid"), (F.lit(-1) * q).alias("__negq"))
+        .join(clusters.select(F.col("id").alias("__sid"), "cluster"), "__sid")
+        .groupBy("cluster")
+        .agg(F.min(F.struct(F.col("__negq"), F.col("__sid"))).alias("__w"))
+        .select(F.col("__w.__sid").alias(id_col))
+    )
+    return df.join(ranked, [id_col], "left_semi")

@@ -2648,6 +2648,87 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# 42b. Quality-aware survivorship (round-4 verdict #6): keep the BEST copy
+#     of each near-dup cluster, not the first — quality = the
+#     quality_features score (integer-quantized quarters) with content
+#     length then min-id tiebreaks, so the perturbed longer copies win
+#     over their originals where scores tie. Survivors proven byte-
+#     identical via sha256 in both engines.
+# =====================================================================
+_SURVIVOR_ORACLE = (
+    _MINHASH_CTES.replace("WITH docs AS (", "WITH RECURSIVE docs AS (", 1)
+    + r""",
+sym AS (
+  SELECT id1 AS a, id2 AS b FROM verified
+  UNION ALL SELECT id2, id1 FROM verified
+),
+nodes AS (SELECT DISTINCT doc_id AS id FROM docs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+),
+cl AS (
+  SELECT n.id, CAST(LEAST(n.id, COALESCE(MIN(r.b), n.id)) AS BIGINT) AS cluster
+  FROM nodes n LEFT JOIN reach r ON r.a = n.id GROUP BY n.id
+),
+feat AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS n_stop,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+  FROM docs
+),
+qual AS (
+  SELECT doc_id, text,
+         (CASE WHEN n_chars BETWEEN 64 AND 100000 THEN 2 ELSE 0 END
+          + CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.01 THEN 1 ELSE 0 END
+          + CASE WHEN n_chars = 0 OR CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) <= 0.2 THEN 1 ELSE 0 END
+         ) * CAST(1000000000 AS BIGINT) + n_chars AS qq
+  FROM feat
+),
+win AS (
+  SELECT q.doc_id, q.text,
+         ROW_NUMBER() OVER (PARTITION BY cl.cluster ORDER BY q.qq DESC, q.doc_id ASC) AS rn
+  FROM qual q JOIN cl ON cl.id = q.doc_id
+)
+SELECT doc_id, sha256(text) AS text_sha FROM win WHERE rn = 1
+"""
+)
+
+
+@query("dedup_apply_quality", oracle=_SURVIVOR_ORACLE)
+def q_dedup_apply_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-copy survivorship over the minhash near-dup clusters: quality =
+    quality_features' score quantized to integer quarters (exact — the
+    score is k*0.25 by construction), then content length, then min id.
+    The perturbed '+ suffix' copies are LONGER, so where scores tie the
+    survivor differs from keep-min-id — the policy is observably not
+    first-copy-wins. sha256 of each survivor pins byte identity."""
+    from data_validator_guard_spark.operators.dedup import (
+        apply_survivorship,
+        connected_components,
+        minhash_near_duplicates,
+    )
+    from data_validator_guard_spark.operators.text import quality_features
+
+    dup = _docs_with_near_dups(spark, sf_dir)
+    pairs = minhash_near_duplicates(dup, "text", "doc_id", k=8, bands=4, n=3, threshold=0.7)
+    clusters = connected_components(dup.select("doc_id"), pairs, id_col="doc_id")
+    qf = quality_features(dup, "text", "doc_id").select(
+        "doc_id",
+        (
+            (F.col("quality_score") * 4).cast("bigint") * F.lit(1_000_000_000)
+            + F.col("n_chars_actual")
+        ).alias("__qq"),
+    )
+    kept = apply_survivorship(dup.join(qf, "doc_id"), clusters, "doc_id", F.col("__qq"))
+    return kept.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+# =====================================================================
 # 43. Sliding event-time window (RANGE frame over seconds): 30-day rolling
 #     order total per customer. Exact decimal accumulation inside the frame,
 #     one final double cast (W-family: range frames, not just row frames).

@@ -1383,3 +1383,36 @@ def test_incremental_stats_merge_equals_full_recompute(spark):
     for col, n in exact.items():
         for m in (merged_inc, merged_full):
             assert abs(m[col]["n_distinct"] - n) / n < 0.05, (col, m[col]["n_distinct"])
+
+
+def test_apply_survivorship_keeps_best_copy(spark):
+    """Round-4 verdict #6: the survivor of a near-dup cluster is the
+    highest-quality copy (min id only as tiebreak) — NOT the first-ingested
+    copy; singletons survive unchanged; quality=None degenerates to
+    keep-min-id."""
+    from data_validator_guard_spark.operators.dedup import apply_survivorship
+
+    df = spark.createDataFrame(
+        [
+            (1, "short", 10),     # cluster 1: id 2 has higher quality
+            (2, "long copy", 90),
+            (3, "middle", 50),    # also cluster 1
+            (7, "single", 5),     # singleton
+            (8, "tie a", 40),     # cluster 8: tie -> min id wins
+            (9, "tie b", 40),
+        ],
+        "doc_id long, text string, q long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 8), (9, 8)], "id long, cluster long"
+    )
+    got = sorted(
+        r.doc_id
+        for r in apply_survivorship(df, clusters, "doc_id", F.col("q")).collect()
+    )
+    assert got == [2, 7, 8]
+    # default quality: min id per cluster
+    got_min = sorted(
+        r.doc_id for r in apply_survivorship(df, clusters, "doc_id").collect()
+    )
+    assert got_min == [1, 7, 8]
