@@ -453,3 +453,113 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivf_recall_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobes: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8),
+    iters: int = 1,
+    scale: int = 1000,
+) -> DataFrame:
+    """The IVF cost-recall curve (round-4 verdict #4): one row per nprobe
+    value with ``nprobe, n_hits, n_exact, recall, n_candidates,
+    candidate_frac`` aggregated over the query set — recall@k versus the
+    fraction of the corpus actually scanned, so the operating point is a
+    PUBLISHED trade, not a hope.
+
+    Cost shape: the index build + cell assignment + candidate scoring run
+    ONCE at max(nprobes); each curve point is derived by filtering the
+    scored candidates on the query's probe rank (``pr <= nprobe``) — an
+    explode over the handful of nprobe literals, never a re-scan or a
+    re-build. Probing more cells only ever adds candidates, so recall is
+    non-decreasing along the curve (pytest pins this and the >= 0.8
+    operating point at nprobe=5 of 8).
+
+    Everything rank-deciding is the exact integer kit (exact_sim_key,
+    integer L2 cell assignment); the exact baseline is brute-force cosine.
+    recall and candidate_frac are each ONE IEEE division of exact integers.
+    """
+    from data_validator_guard_spark.operators.dedup import _quantize
+
+    if not nprobes or any(p < 1 or p > n_clusters for p in nprobes):
+        raise ValueError(f"nprobes must be within [1, {n_clusters}], got {nprobes}")
+    max_probe = max(nprobes)
+
+    c = _quantized_frame(corpus, vec_col, id_col, scale)
+    cents = ivf_centroids(corpus, vec_col, id_col, n_clusters, iters, scale, _q=c)
+    assigned = _assign_to_centroids(c, cents)
+    corpus_cells = c.join(assigned, "id").select(
+        F.col("id").alias("neighbor_id"), F.col("__qv").alias("__cq"), "centroid_id"
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _quantize(F.col(vec_col), scale).alias("__qq")
+    )
+    probe_scored = qv.crossJoin(F.broadcast(cents)).select(
+        "query_id", "__qq", "centroid_id",
+        _sq_l2(F.col("__qq"), F.col("__cv")).alias("__dist"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("__dist").asc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= max_probe)
+        .select("query_id", "__qq", "centroid_id", "__pr")
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", "__pr",
+            exact_sim_key(F.col("__qq"), F.col("__cq")).alias("__sim"),
+        )
+    )
+    # fan each candidate out to every curve point it belongs to
+    fanned = scored.withColumn(
+        "nprobe", F.explode(F.array(*[F.lit(p) for p in sorted(nprobes)]))
+    ).filter(F.col("__pr") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc()
+    )
+    approx = (
+        fanned.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    exact = brute_force_topk(corpus, queries, vec_col, id_col, k).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    cands = fanned.groupBy("nprobe").agg(F.count(F.lit(1)).alias("n_candidates"))
+    totals = exact.crossJoin(
+        corpus.select(F.count(F.lit(1)).alias("__n_corpus")).crossJoin(
+            queries.select(F.count(F.lit(1)).alias("__n_queries"))
+        )
+    ).groupBy("__n_corpus", "__n_queries").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        cands.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("nprobe").cast("bigint").alias("nprobe"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            (
+                F.col("n_candidates").cast("double")
+                / (F.col("__n_queries") * (F.col("__n_corpus") - 1)).cast("double")
+            ).alias("candidate_frac"),
+        )
+    )

@@ -1122,6 +1122,96 @@ FROM tot t LEFT JOIN hits h ON h.query_id = t.query_id
 )
 
 
+# Cost-recall curve (round-4 verdict #4): every nprobe operating point's
+# recall@5 AND candidates-scanned fraction, from ONE index build + ONE
+# candidate scoring pass. The nprobe=5 row is the shipped >= 0.8 operating
+# point (pytest floor); nprobe=8 scans every cell and must reach recall 1.0.
+_IVF_CURVE_ORACLE = (
+    _IVF_INDEX_CTE
+    + f""",
+q AS (
+  SELECT em.vec_id AS query_id, em.embedding AS qorig, e.qv
+  FROM embeddings em JOIN e ON e.vec_id = em.vec_id
+  WHERE em.vec_id < 10
+),
+pd AS (
+  SELECT q.query_id, q.qv, c.centroid_id,
+         {_IVF_DIST_SQL.format(v='q.qv', c='c.cvec')} AS dist
+  FROM q CROSS JOIN c1 c
+),
+pr AS (
+  SELECT query_id, qv, centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, centroid_id) AS pr
+  FROM pd
+),
+cells AS (SELECT a1.vec_id, a1.centroid_id, e.qv FROM a1 JOIN e USING (vec_id)),
+scored AS (
+  SELECT p.query_id, cl.vec_id AS neighbor_id, p.pr,
+         {_exact_key_sql('p.qv', 'cl.qv')} AS sim
+  FROM pr p JOIN cells cl USING (centroid_id)
+  WHERE cl.vec_id <> p.query_id
+),
+fanned AS (
+  SELECT s.query_id, s.neighbor_id, s.sim, g.np AS nprobe
+  FROM scored s, generate_series(1, 8) AS g(np)
+  WHERE s.pr <= g.np
+),
+approx AS (
+  SELECT nprobe, query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM fanned
+),
+exact AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qorig, c.embedding) DESC,
+                                     c.vec_id) AS rank
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+),
+exact5 AS (SELECT query_id, neighbor_id FROM exact WHERE rank <= 5),
+hits AS (
+  SELECT a.nprobe, COUNT(*) AS n_hits
+  FROM approx a
+  JOIN exact5 e ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  WHERE a.rank <= 5 GROUP BY a.nprobe
+),
+cands AS (SELECT nprobe, COUNT(*) AS n_candidates FROM fanned GROUP BY nprobe),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM exact5) AS n_exact,
+         (SELECT COUNT(*) FROM embeddings) AS n_corpus,
+         (SELECT COUNT(*) FROM q) AS n_queries
+)
+SELECT CAST(c.nprobe AS BIGINT) AS nprobe,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(t.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE) AS recall,
+       CAST(c.n_candidates AS BIGINT) AS n_candidates,
+       CAST(c.n_candidates AS DOUBLE)
+         / CAST(t.n_queries * (t.n_corpus - 1) AS DOUBLE) AS candidate_frac
+FROM cands c LEFT JOIN hits h ON h.nprobe = c.nprobe CROSS JOIN tot t
+"""
+)
+
+
+@query("similarity_recall_curve", oracle=_IVF_CURVE_ORACLE)
+def q_similarity_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published IVF cost-recall trade: recall@5 and candidate fraction
+    at every nprobe in 1..8 (sf0.01: 0.22@13% -> 0.90@63% -> 1.0@100%).
+    The shipped operating point is nprobe=5 (recall >= 0.8 at ~5/8 of the
+    corpus scanned on these UNCLUSTERED synthetic embeddings — real
+    embedding corpora cluster, which moves the whole curve left; the curve
+    query is exactly how a deployment would re-measure that)."""
+    from data_validator_guard_spark.operators.similarity import ivf_recall_curve
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_recall_curve(
+        emb, queries_df, "embedding", "vec_id", k=5, n_clusters=8,
+        nprobes=(1, 2, 3, 4, 5, 6, 7, 8), iters=1,
+    )
+
+
 @query("similarity_ivf_recall", oracle=_IVF_RECALL_ORACLE)
 def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of IVF(nprobe=3 of 8 cells) vs brute force — measured and

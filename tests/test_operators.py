@@ -1416,3 +1416,26 @@ def test_apply_survivorship_keeps_best_copy(spark):
         r.doc_id for r in apply_survivorship(df, clusters, "doc_id").collect()
     )
     assert got_min == [1, 7, 8]
+
+
+def test_ivf_recall_curve_monotone_and_operating_point(spark):
+    """Round-4 verdict #4: the cost-recall curve is monotone (probing more
+    cells only adds candidates, for BOTH recall and candidate count), the
+    full-probe end reaches recall 1.0 at candidate_frac 1.0, and the
+    shipped operating point nprobe=5 of 8 clears recall@5 >= 0.8."""
+    from data_validator_guard_spark.operators.similarity import ivf_recall_curve
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    rows = {
+        r.nprobe: r
+        for r in ivf_recall_curve(emb, q, k=5, n_clusters=8, iters=1).collect()
+    }
+    assert sorted(rows) == [1, 2, 3, 4, 5, 6, 7, 8]
+    for p in range(1, 8):
+        assert rows[p].recall <= rows[p + 1].recall + 1e-12
+        assert rows[p].n_candidates < rows[p + 1].n_candidates
+    assert rows[8].recall == 1.0
+    assert abs(rows[8].candidate_frac - 1.0) < 1e-12
+    assert rows[5].recall >= 0.8, f"operating point fell: {rows[5].recall}"
+    assert rows[5].candidate_frac < 0.7
