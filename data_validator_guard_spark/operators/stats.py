@@ -256,8 +256,11 @@ def equi_depth_histogram(
     global group — exact type-1 quantiles from the value-count histogram,
     never a row sort, and BIGINT cut points so the same edges fall out of
     any engine bit for bit (the reason drift rules here avoid float
-    quantile sketches). The k-1 cuts broadcast to the scan; bucket id is a
-    sum of integer comparisons. Output: ``group_col, bucket, n`` where
+    quantile sketches). The k-1 cuts are collected as literals (a guarded
+    driver pull of k-1 integers — the drift-edges pattern) so the bucket id
+    is a constant-folded sum of integer comparisons fused into the scan;
+    an all-NULL/empty input raises instead of silently emitting an empty
+    frame. Output: ``group_col, bucket, n`` where
     bucket b holds values v with ``edge[b-1] < v <= edge[b]`` (bucket 0:
     ``v <= edge[0]``; bucket k-1: ``v > edge[k-2]``). NULL values are
     excluded from both the cuts and the counts.
@@ -284,16 +287,25 @@ def equi_depth_histogram(
     one = df.select(F.lit(1).alias("__g"), v.alias("__v")).filter(
         F.col("__v").isNotNull()
     )
-    cuts = grouped_exact_quantiles(one, "__g", F.col("__v"), pcts).drop(
-        "__g", "n_rows"
-    )
+    cut_rows = grouped_exact_quantiles(one, "__g", F.col("__v"), pcts).collect()
+    if not cut_rows:
+        # round-4 advice: with every value NULL the cuts frame is empty and
+        # a crossJoin would silently annihilate all counts — fail loudly
+        # like the engine's other guards instead.
+        raise ValueError(
+            "equi_depth_histogram: every value is NULL (or the input is "
+            "empty) — no quantile cuts exist, nothing can be binned"
+        )
+    # k-1 BIGINT cut points as literals (the same guarded-tiny-collect
+    # pattern as drift's equi-depth edges): the bucket id constant-folds
+    # into the scan; no crossJoin, no second execution of the cuts subplan.
+    cuts = {p: cut_rows[0][f"q{p}"] for p in pcts}
     bucket = sum(
-        (F.col("__v") > F.col(f"q{p}")).cast("int") for p in pcts
+        (F.col("__v") > F.lit(cuts[p])).cast("int") for p in pcts
     ).alias("bucket")
     return (
         df.select(F.col(group_col), v.alias("__v"))
         .filter(F.col("__v").isNotNull())
-        .crossJoin(F.broadcast(cuts))
         .groupBy(group_col, bucket)
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -55,9 +55,20 @@ def salted_equijoin(
     join types are rejected: replication would duplicate unmatched RIGHT
     rows.
 
-    The salt is ``xxhash64`` over the left row's columns — deterministic
-    (reruns and engines agree on which reducer got which row, so shuffle
-    layouts are reproducible), uniform, and computed without moving data.
+    The salt mixes ``xxhash64`` over the left row's hashable columns with
+    the physical input split id (``spark_partition_id``) — ANY salt value
+    is correct (the right side is replicated to every salt), so the salt
+    only has to spread, and this one spreads even the adversarial cases a
+    row-content hash alone cannot (round-4 advice): rows that are FULL
+    duplicates (every column identical — exactly what a validation engine's
+    duplicate-heavy inputs contain) hash identically but sit in many input
+    splits, so the partition-id term fans them out; unhashable column
+    types (MapType) are simply excluded from the hash term rather than
+    failing analysis. Deterministic for a fixed input layout (reruns over
+    the same files agree on reducer placement); a repartitioned input may
+    place rows differently — irrelevant to the result, which is
+    row-identical to the plain join either way (test-pinned, including the
+    all-duplicates case).
     Cost: the right side is materialized ``n_salts`` times into the
     shuffle — use the smallest n_salts that defuses the hot key (see
     ``stats.key_skew_profile`` for the measurement) and prefer AQE's
@@ -78,7 +89,16 @@ def salted_equijoin(
         # public operator over arbitrary frames — withColumn would silently
         # clobber and drop a real user column of that name.
         raise ValueError("inputs must not already have a '__salt' column")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    hashable = [
+        F.col(f.name) for f in left.schema.fields
+        if "map<" not in f.dataType.simpleString()
+    ]
+    salt = F.pmod(
+        F.xxhash64(*hashable, F.spark_partition_id())
+        if hashable
+        else F.spark_partition_id().cast("bigint"),
+        F.lit(n_salts),
+    )
     l = left.withColumn("__salt", salt)
     r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

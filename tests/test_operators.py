@@ -1439,3 +1439,59 @@ def test_ivf_recall_curve_monotone_and_operating_point(spark):
     assert abs(rows[8].candidate_frac - 1.0) < 1e-12
     assert rows[5].recall >= 0.8, f"operating point fell: {rows[5].recall}"
     assert rows[5].candidate_frac < 0.7
+
+
+def test_salted_equijoin_spreads_full_duplicates_and_skips_maps(spark):
+    """Round-4 advice: (a) rows that are FULL duplicates (identical in every
+    column) must still spread across salts — the partition-id term, not the
+    content hash, fans them out; (b) MapType columns must not break salt
+    derivation at analysis time; result stays row-identical to the plain
+    join in both cases."""
+    from pyspark.sql import functions as SF
+
+    from data_validator_guard_spark.operators.uniqueness import salted_equijoin
+
+    # 4000 copies of the IDENTICAL row across several input partitions
+    dup = (
+        spark.range(4000)
+        .repartition(8)
+        .select(SF.lit(1).alias("k"), SF.lit("same").alias("lv"))
+    )
+    right = spark.createDataFrame([(1, "r1"), (2, "r2")], "k long, rv string")
+    out = salted_equijoin(dup, right, ["k"], n_salts=8)
+    assert out.count() == 4000
+    # the identical rows really landed on > 1 salt: re-derive the salt the
+    # operator uses and count distinct values over the duplicate rows
+    hashable = [SF.col(f.name) for f in dup.schema.fields]
+    salts = dup.select(
+        SF.pmod(SF.xxhash64(*hashable, SF.spark_partition_id()), SF.lit(8)).alias("s")
+    )
+    assert salts.select("s").distinct().count() > 1
+
+    # MapType columns excluded from the hash term, join still correct
+    ml = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2}), (3, {"c": 3})], "k long, m map<string,int>"
+    )
+    got = sorted(
+        (r.k, r.rv) for r in salted_equijoin(ml, right, ["k"], 4, "left").collect()
+    )
+    want = sorted((r.k, r.rv) for r in ml.join(right, ["k"], "left").collect())
+    assert got == want
+
+
+def test_equi_depth_histogram_all_null_raises(spark):
+    """Round-4 advice: an all-NULL (or empty) value column has no quantile
+    cuts — the operator must fail loudly, never return a silently empty
+    frame."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.operators.stats import equi_depth_histogram
+
+    all_null = spark.createDataFrame(
+        [(None, "g")] * 10, "v long, grp string"
+    )
+    with _pytest.raises(ValueError, match="every value is NULL"):
+        equi_depth_histogram(all_null, "grp", F.col("v"), 4)
+    empty = spark.createDataFrame([], "v long, grp string")
+    with _pytest.raises(ValueError, match="every value is NULL"):
+        equi_depth_histogram(empty, "grp", F.col("v"), 4)
