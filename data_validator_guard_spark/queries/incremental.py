@@ -1,0 +1,313 @@
+"""Snapshot-centric workflows: verdict regression diff across runs and
+snapshot-diff incremental validation (verdicts + violations).
+
+Split out of the original single-file registry (round-5 verdict item #7);
+sections moved verbatim, registration order preserved per family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from data_validator_guard_spark.engine import validate
+from data_validator_guard_spark.rules import Rule
+from data_validator_guard_spark.rules import RuleSuite
+from data_validator_guard_spark.sources import read_table
+from data_validator_guard_spark.queries._registry import ALLOWED_DOC_LANGS
+from data_validator_guard_spark.queries._registry import query
+
+# =====================================================================
+# 38. Verdict regression diff across two snapshots (operators/compare.py):
+#     snapshot A = even doc_ids, snapshot B = all docs (zh rows planted in
+#     the odd half change FK counts; count drift + appearances covered).
+# =====================================================================
+@query(
+    "verdict_regressions",
+    oracle="""
+WITH a AS (
+  SELECT 'lang_fk' AS rule_id, '__all__' AS "partition",
+         SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) = 0 AS pass,
+         CAST(SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS BIGINT) AS nv
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'text_not_blank', '__all__',
+         SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) = 0,
+         CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents WHERE doc_id % 2 = 0
+),
+b AS (
+  SELECT 'lang_fk' AS rule_id, '__all__' AS "partition",
+         SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) = 0 AS pass,
+         CAST(SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS BIGINT) AS nv
+  FROM documents
+  UNION ALL
+  SELECT 'text_not_blank', '__all__',
+         SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) = 0,
+         CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+)
+SELECT a.rule_id, a."partition",
+       CASE WHEN a.pass AND NOT b.pass THEN 'regression'
+            WHEN NOT a.pass AND b.pass THEN 'recovery'
+            WHEN a.nv <> b.nv THEN 'count_drift' END AS status,
+       a.pass AS pass_before, b.pass AS pass_after,
+       a.nv AS n_violations_before, b.nv AS n_violations_after
+FROM a JOIN b ON a.rule_id = b.rule_id AND a."partition" = b."partition"
+WHERE CASE WHEN a.pass AND NOT b.pass THEN 'regression'
+           WHEN NOT a.pass AND b.pass THEN 'recovery'
+           WHEN a.nv <> b.nv THEN 'count_drift' END IS NOT NULL
+""",
+)
+def q_verdict_regressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.compare import compare_verdicts
+
+    docs = read_table(spark, sf_dir, "documents")
+    dim = spark.createDataFrame([(l,) for l in ALLOWED_DOC_LANGS], "lang string")
+    suite = RuleSuite(
+        "documents_diff",
+        [
+            Rule("text_not_blank", "not_blank", ("text",)),
+            Rule("lang_fk", "foreign_key", ("lang",), {"dim": dim, "inline": True}),
+        ],
+        key_cols=("doc_id",),
+    )
+    before, _ = validate(docs.filter(F.col("doc_id") % 2 == 0), suite)
+    after, _ = validate(docs, suite)
+    return compare_verdicts(before, after)
+
+
+# =====================================================================
+# 28. Snapshot-diff incremental validation (operators/snapshot_diff.py):
+#     fingerprint both snapshots per partition (one narrow agg each),
+#     re-validate ONLY partitions whose fingerprint changed, carry prior
+#     verdicts elsewhere. The oracle recomputes the fingerprints
+#     (md5-half sums, HUGEINT-exact) and the merged verdict frame,
+#     including which partitions were recomputed.
+# =====================================================================
+def _hexn_sql(hash_expr: str, start: int, n: int) -> str:
+    """Horner expansion of hex nibbles [start, start+n) of a DuckDB md5()
+    hex string as a BIGINT (generalizes ``_hex12_sql`` to an offset)."""
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(start, start + n):
+        nib = f"(strpos('0123456789abcdef', substr({hash_expr}, {i}, 1)) - 1)"
+        acc = f"({acc} * 16 + {nib})"
+    return acc
+
+
+def _inc_field(expr: str) -> str:
+    # per-field md5 with a value/NULL tag — the injection-proof row image
+    # (mirrors snapshot_diff._row_image)
+    return f"md5(CASE WHEN {expr} IS NULL THEN 'n:' ELSE 'v:' || CAST({expr} AS VARCHAR) END)"
+
+
+_INC_IMG = (
+    "md5("
+    + " || ".join(
+        _inc_field(c) for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    + ")"
+)
+
+# shared by incremental_verdicts / incremental_violations / incremental_stats:
+# the old/new snapshot pair (old = documents minus every 97th English row),
+# both sides' per-partition fingerprints, and the changed-partition set.
+_INC_CTE_PREFIX = f"""
+WITH old AS (
+  SELECT * FROM documents WHERE NOT (lang = 'en' AND doc_id % 97 = 0)
+),
+new AS (SELECT * FROM documents),
+ofp AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS p, COUNT(*) AS n,
+         SUM({_hexn_sql(_INC_IMG, 1, 12)}) AS slo,
+         SUM({_hexn_sql(_INC_IMG, 13, 12)}) AS shi
+  FROM old GROUP BY 1
+),
+nfp AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS p, COUNT(*) AS n,
+         SUM({_hexn_sql(_INC_IMG, 1, 12)}) AS slo,
+         SUM({_hexn_sql(_INC_IMG, 13, 12)}) AS shi
+  FROM new GROUP BY 1
+),
+chg AS (
+  SELECT COALESCE(o.p, n.p) AS p
+  FROM ofp o FULL OUTER JOIN nfp n ON o.p = n.p
+  WHERE o.n IS DISTINCT FROM n.n
+     OR o.slo IS DISTINCT FROM n.slo
+     OR o.shi IS DISTINCT FROM n.shi
+)"""
+
+_INCREMENTAL_ORACLE = f"""{_INC_CTE_PREFIX},
+t AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS p,
+         doc_id % 50 AS k, text, n_chars
+  FROM new
+),
+dup AS (
+  SELECT p, CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_dup FROM (
+    SELECT p, COUNT(*) AS n FROM t GROUP BY p, k HAVING COUNT(*) > 1
+  ) d GROUP BY p
+),
+tot AS (
+  SELECT p, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+         CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_range
+  FROM t GROUP BY p
+),
+v AS (
+  SELECT 'text_not_blank' AS rule_id, p, n_blank = 0 AS pass, n_rows,
+         n_blank AS n_violations FROM tot
+  UNION ALL SELECT 'nchars_range', p, n_range = 0, n_rows, n_range FROM tot
+  UNION ALL SELECT 'min_rows_10', p, n_rows >= 10, n_rows,
+         CAST(CASE WHEN n_rows >= 10 THEN 0 ELSE 1 END AS BIGINT) FROM tot
+  UNION ALL SELECT 'k_unique', tot.p, COALESCE(dup.n_dup, 0) = 0, tot.n_rows,
+         CAST(COALESCE(dup.n_dup, 0) AS BIGINT)
+  FROM tot LEFT JOIN dup ON dup.p = tot.p
+)
+SELECT rule_id, p AS "partition", pass, n_rows, n_violations,
+       p IN (SELECT p FROM chg) AS recomputed
+FROM v
+"""
+
+
+def _inc_frames(spark: SparkSession, sf_dir: str):
+    """The shared incremental scenario: old = documents minus every 97th
+    English row, new = the full table (one partition's fingerprint flips),
+    plus the rule suite both incremental queries validate."""
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.withColumn("k", F.col("doc_id") % 50)
+    old = new.filter(~((F.col("lang") == "en") & (F.col("doc_id") % 97 == 0)))
+    suite = RuleSuite(
+        name="documents_incremental",
+        rules=[
+            Rule("text_not_blank", "not_blank", ("text",)),
+            Rule("nchars_range", "min_max", ("n_chars",), {"lo": 1, "hi": 1000000}),
+            Rule("min_rows_10", "min_rows", (), {"n": 10}),
+            Rule("k_unique", "unique", ("k",)),
+        ],
+        partition_by="lang",
+        key_cols=("doc_id",),
+    )
+    return old, new, suite
+
+
+@query("incremental_verdicts", oracle=_INCREMENTAL_ORACLE)
+def q_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-incremental validation: the 'old' snapshot is `documents`
+    minus a handful of English rows (every 97th), the 'new' snapshot is
+    the full table — so exactly ONE partition's fingerprint changes.
+    `incremental_validate` re-scans only that partition and carries every
+    other verdict from the prior run; `recomputed` records which is which.
+    The oracle replays the fingerprint arithmetic (two 48-bit md5-half
+    sums, HUGEINT-exact), the changed-set diff, and the merged frame."""
+    from data_validator_guard_spark.operators.snapshot_diff import (
+        incremental_validate,
+    )
+
+    old, new, suite = _inc_frames(spark, sf_dir)
+    return incremental_validate(
+        old,
+        new,
+        suite,
+        fingerprint_cols=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+_INC_VIOLATIONS_ORACLE = f"""{_INC_CTE_PREFIX},
+t AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS p,
+         doc_id, doc_id % 50 AS k, text, n_chars
+  FROM new
+),
+v AS (
+  SELECT 'text_not_blank' AS rule_id, p, CAST(doc_id AS VARCHAR) AS keys,
+         'text is blank' AS detail
+  FROM t WHERE text IS NULL OR trim(text) = ''
+  UNION ALL
+  SELECT 'nchars_range', p, CAST(doc_id AS VARCHAR),
+         'n_chars outside [1, 1000000]: ' || COALESCE(CAST(n_chars AS VARCHAR), 'NULL')
+  FROM t WHERE n_chars IS NULL OR n_chars < 1 OR n_chars > 1000000
+  UNION ALL
+  SELECT 'k_unique', p, CAST(k AS VARCHAR),
+         'duplicate key x' || CAST(COUNT(*) AS VARCHAR)
+  FROM t GROUP BY p, k HAVING COUNT(*) > 1
+)
+SELECT rule_id, p AS "partition", keys, detail,
+       p IN (SELECT p FROM chg) AS recomputed
+FROM v
+"""
+
+
+@query("incremental_violations", oracle=_INC_VIOLATIONS_ORACLE)
+def q_incremental_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The violations side of the same incremental run (round-4 verdict #1):
+    changed partitions' violation rows are recomputed from the new snapshot,
+    unchanged partitions' rows are carried from the prior run — every rule
+    family is partition-local, so the merge is bit-identical to a full
+    re-run (the oracle computes exactly that full frame + the recomputed
+    tag from the fingerprint diff)."""
+    from data_validator_guard_spark.operators.snapshot_diff import (
+        incremental_validate_full,
+    )
+
+    old, new, suite = _inc_frames(spark, sf_dir)
+    _, violations = incremental_validate_full(
+        old,
+        new,
+        suite,
+        fingerprint_cols=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    return violations
+
+
+_INC_STATS_ORACLE = f"""{_INC_CTE_PREFIX},
+t AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS p,
+         source, CAST(n_chars AS VARCHAR) AS n_chars_s
+  FROM new
+),
+s AS (
+  SELECT p, col AS "column", COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(SUM(CASE WHEN v IS NULL OR trim(v) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+         MIN(v) AS min_val, MAX(v) AS max_val,
+         CAST(SUM(COALESCE(length(v), 0)) AS BIGINT) AS sum_len
+  FROM (
+    SELECT p, 'source' AS col, source AS v FROM t
+    UNION ALL
+    SELECT p, 'n_chars', n_chars_s FROM t
+  )
+  GROUP BY p, col
+)
+SELECT p AS "partition", "column", n_rows, n_null, n_blank,
+       min_val, max_val, sum_len,
+       p IN (SELECT p FROM chg) AS recomputed
+FROM s
+"""
+
+
+@query("incremental_stats", oracle=_INC_STATS_ORACLE)
+def q_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stats twin of incremental_verdicts (round-4 verdict #3):
+    per-partition mergeable stat partials where only the changed
+    partition's stats are recomputed from the new snapshot and every other
+    partition's partials are carried from the prior run. The HLL sketch is
+    exercised by the pytest parity check (merge equals full recompute);
+    the oracle checks every SQL-expressible measure plus the recomputed
+    tag."""
+    from data_validator_guard_spark.operators.snapshot_diff import (
+        incremental_column_stats,
+    )
+
+    old, new, _suite = _inc_frames(spark, sf_dir)
+    partials = incremental_column_stats(
+        old,
+        new,
+        columns=["source", "n_chars"],
+        partition_by="lang",
+        fingerprint_cols=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    return partials.select(
+        "partition", "column", "n_rows", "n_null", "n_blank",
+        "min_val", "max_val", "sum_len", "recomputed",
+    )

@@ -1,0 +1,232 @@
+"""Column-stats suites: fused stats, exact percentiles, incremental
+partial-merge stats, z-score outliers, equi-depth histograms.
+
+Split out of the original single-file registry (round-5 verdict item #7);
+sections moved verbatim, registration order preserved per family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from data_validator_guard_spark.operators.stats import column_stats
+from data_validator_guard_spark.sources import read_table
+from data_validator_guard_spark.queries._registry import LANG_PATTERN
+from data_validator_guard_spark.queries._registry import query
+
+# =====================================================================
+# 2. Fused column-stats suite (SURVEY.md §2.4 family, one agg pass).
+# =====================================================================
+def _stats_oracle_one(col: str, regex: str | None) -> str:
+    n_match = (
+        f"CAST(SUM(CASE WHEN {col} IS NOT NULL AND regexp_matches(CAST({col} AS VARCHAR), '{regex}') THEN 1 ELSE 0 END) AS BIGINT)"
+        if regex
+        else "CAST(NULL AS BIGINT)"
+    )
+    return f"""
+SELECT '__all__' AS "partition", '{col}' AS "column",
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(SUM(CASE WHEN {col} IS NULL OR trim(CAST({col} AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+       COUNT(DISTINCT {col}) AS n_distinct,
+       MIN(CAST({col} AS VARCHAR)) AS min_val,
+       MAX(CAST({col} AS VARCHAR)) AS max_val,
+       MIN(length(CAST({col} AS VARCHAR))) AS min_len,
+       MAX(length(CAST({col} AS VARCHAR))) AS max_len,
+       CAST(SUM(COALESCE(length(CAST({col} AS VARCHAR)), 0)) AS BIGINT) AS sum_len,
+       {n_match} AS n_regex_match
+FROM documents"""
+
+
+@query(
+    "stats_documents",
+    oracle=" UNION ALL ".join(
+        [
+            _stats_oracle_one("text", "^the "),
+            _stats_oracle_one("lang", "^[a-z]{2}$"),
+            _stats_oracle_one("source", None),
+            _stats_oracle_one("n_chars", None),
+        ]
+    ),
+)
+def q_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return column_stats(
+        docs,
+        ["text", "lang", "source", "n_chars"],
+        regex_patterns={"text": "^the ", "lang": LANG_PATTERN},
+        exact_distinct=True,
+    )
+
+
+# =====================================================================
+# 36. Exact percentiles per group (numeric column-stats extension) — exact
+#     `percentile` (Spark) vs `quantile_cont` (DuckDB), same linear-
+#     interpolation definition; decimal cast absorbs last-ulp divergence.
+# =====================================================================
+@query(
+    "nchars_percentiles",
+    oracle="""
+SELECT lang,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5)  AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
+       COUNT(*) AS n
+FROM documents GROUP BY lang
+""",
+)
+def q_nchars_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles emitted as raw doubles: at q ∈ {.25,.5,.75} over
+    integer values the interpolation a + f·(b−a) has f exactly representable
+    (dyadic), so both engines produce bit-identical float64 — no decimal cast
+    (decimal outputs hash-differ through the driver)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("p25"),
+        F.percentile("n_chars", F.lit(0.5)).alias("p50"),
+        F.percentile("n_chars", F.lit(0.75)).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# =====================================================================
+# 45. Incremental stats: per-snapshot partials MERGED (counts add, min/max
+#     fold) must equal whole-table stats — the resumable-validation identity
+#     at 10^12 rows (never rescan history). HLL cardinality is excluded
+#     here: sketches are not SQL-expressible; their merge is pytest-covered
+#     (test_partial_stats_merge_equals_full).
+# =====================================================================
+@query(
+    "stats_partial_merge",
+    oracle="""
+SELECT col AS "column",
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(SUM(CASE WHEN v IS NULL OR trim(v) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+       MIN(v) AS min_val,
+       MAX(v) AS max_val,
+       CAST(SUM(COALESCE(length(v), 0)) AS BIGINT) AS sum_len
+FROM (
+  SELECT 'lang' AS col, lang AS v FROM documents
+  UNION ALL
+  SELECT 'source', source FROM documents
+)
+GROUP BY col
+""",
+)
+def q_stats_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partials computed per half-snapshot, merged with merge_column_stats —
+    algebraic measures only, proving merge(partials) == full-table stats
+    against the oracle computing directly over the whole table."""
+    from data_validator_guard_spark.operators.stats import (
+        merge_column_stats,
+        partial_column_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    partials = partial_column_stats(halves[0], ["lang", "source"]).unionByName(
+        partial_column_stats(halves[1], ["lang", "source"])
+    )
+    merged = merge_column_stats(partials)
+    return merged.select(
+        "column", "n_rows", "n_null", "n_blank", "min_val", "max_val", "sum_len"
+    )
+
+
+# =====================================================================
+# 52. Exact z-score outliers: |x - mean| > 3*std decided entirely in
+#     integer/decimal arithmetic. With q = quantize(x), S = Σq, SS = Σq²,
+#     n rows:  |x−mean| > 3σ  ⇔  (n·q − S)² > 9·(n·SS − S²)  — no float
+#     mean/std ever computed, so the boundary set is engine-identical.
+# =====================================================================
+@query(
+    "value_outliers",
+    oracle="""
+WITH q AS (
+  SELECT event_id, event_type, value,
+         CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(qv) AS HUGEINT) AS s,
+         CAST(SUM(CAST(qv AS HUGEINT) * CAST(qv AS HUGEINT)) AS HUGEINT) AS ss,
+         CAST(COUNT(*) AS HUGEINT) AS n
+  FROM q GROUP BY event_type
+)
+SELECT q.event_id, q.event_type, q.value
+FROM q JOIN stats t ON t.event_type = q.event_type
+WHERE t.n >= 3
+  AND (t.n * q.qv - t.s) * (t.n * q.qv - t.s) > 9 * (t.n * t.ss - t.s * t.s)
+""",
+)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    qv = F.floor(F.col("value").cast("double") * 1000 + F.lit(0.5)).cast("long")
+    q = events.filter(F.col("value").isNotNull()).select(
+        "event_id", "event_type", "value", qv.alias("qv")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = q.groupBy(F.col("event_type").alias("st_type")).agg(
+        d(F.sum("qv")).alias("s"),
+        F.sum(d(F.col("qv")) * d(F.col("qv"))).alias("ss"),
+        d(F.count(F.lit(1))).alias("n"),
+    )
+    j = q.join(F.broadcast(stats), q.event_type == F.col("st_type"))
+    lhs_root = F.col("n") * d(F.col("qv")) - F.col("s")
+    return (
+        j.filter(
+            (F.col("n") >= 3)
+            & (lhs_root * lhs_root > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")))
+        )
+        .select("event_id", "event_type", "value")
+    )
+
+
+# =====================================================================
+# 30. Equi-depth histogram (operators/stats.py): per-group counts over
+#     buckets cut at the corpus's own exact quartiles — data-derived
+#     binning with BIGINT cut points (engine-identical), no row sorts.
+# =====================================================================
+@query(
+    "equidepth_doc_lengths",
+    oracle="""
+WITH hist AS (
+  SELECT CAST(length(text) AS BIGINT) AS v, COUNT(*) AS n
+  FROM documents WHERE text IS NOT NULL GROUP BY v
+),
+cum AS (
+  SELECT v,
+         SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf,
+         SUM(n) OVER () AS tot
+  FROM hist
+),
+cuts AS (
+  SELECT
+    CAST(MIN(CASE WHEN cf >= (tot * 25 + 99) // 100 THEN v END) AS BIGINT) AS q25,
+    CAST(MIN(CASE WHEN cf >= (tot * 50 + 99) // 100 THEN v END) AS BIGINT) AS q50,
+    CAST(MIN(CASE WHEN cf >= (tot * 75 + 99) // 100 THEN v END) AS BIGINT) AS q75
+  FROM cum
+)
+SELECT lang,
+       CAST(CASE WHEN length(text) > q25 THEN 1 ELSE 0 END
+          + CASE WHEN length(text) > q50 THEN 1 ELSE 0 END
+          + CASE WHEN length(text) > q75 THEN 1 ELSE 0 END AS INT) AS bucket,
+       COUNT(*) AS n
+FROM documents, cuts
+WHERE text IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_equidepth_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-length distribution per language over GLOBAL equi-depth
+    quartile buckets: the cut points are exact type-1 quantiles from the
+    value-count histogram (BIGINT — identical in any engine), broadcast to
+    the scan; bucket id is a sum of integer comparisons. The binning a
+    drift check wants when fixed edges would leave most buckets empty."""
+    from data_validator_guard_spark.operators.stats import equi_depth_histogram
+
+    docs = read_table(spark, sf_dir, "documents")
+    return equi_depth_histogram(docs, "lang", F.length("text"), n_buckets=4)

@@ -1,0 +1,275 @@
+"""Text-analysis family: tokens/quality/lang-id, PII screen, repetition,
+chunking, vocabulary, token document frequency.
+
+Split out of the original single-file registry (round-5 verdict item #7);
+sections moved verbatim, registration order preserved per family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from data_validator_guard_spark.sources import read_table
+from data_validator_guard_spark.queries._registry import query
+
+# =====================================================================
+# 13. Text analysis family (operators/text.py) — all expression-level.
+# =====================================================================
+@query(
+    "token_counts",
+    oracle=r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_word_tokens
+FROM documents
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import token_counts
+
+    return token_counts(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "quality_features",
+    oracle=r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars_actual,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS n_stopwords,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars_actual, n_tokens, n_stopwords, n_punct,
+       COALESCE(CAST(n_stopwords AS DOUBLE) / (CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE) END), 0.0) AS stopword_ratio,
+       COALESCE(CAST(n_punct AS DOUBLE) / (CASE WHEN n_chars_actual > 0 THEN CAST(n_chars_actual AS DOUBLE) END), 0.0) AS punct_ratio,
+       CAST(CASE WHEN n_chars_actual BETWEEN 64 AND 100000 THEN 0.5 ELSE 0.0 END
+        + CASE WHEN COALESCE(CAST(n_stopwords AS DOUBLE) / (CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE) END), 0.0) >= 0.01 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN COALESCE(CAST(n_punct AS DOUBLE) / (CASE WHEN n_chars_actual > 0 THEN CAST(n_chars_actual AS DOUBLE) END), 0.0) <= 0.2 THEN 0.25 ELSE 0.0 END
+       AS DOUBLE) AS quality_score
+FROM f
+""",
+)
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import quality_features
+
+    return quality_features(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "language_id",
+    oracle=r"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\bthe\b')) AS c_en,
+         len(regexp_extract_all(text, '\btable\b')) AS c_fr,
+         len(regexp_extract_all(text, '\bdata\b')) AS c_de,
+         len(regexp_extract_all(text, '\brow\b')) AS c_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN c_en >= greatest(c_fr, c_de, c_es) THEN 'en'
+            WHEN c_fr >= greatest(c_de, c_es) THEN 'fr'
+            WHEN c_de >= c_es THEN 'de'
+            ELSE 'es' END AS pred_lang,
+       c_en, c_fr, c_de, c_es
+FROM c
+""",
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import language_id
+
+    return language_id(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "fingerprints",
+    oracle=r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import fingerprint
+
+    return fingerprint(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# =====================================================================
+# 46. PII pattern screen (scrub-before-training): planted emails/phones/
+#     IPs so every counter exercises a non-zero path; patterns are
+#     Java-regex/RE2 portable so both engines count identically.
+# =====================================================================
+@query(
+    "pii_scan",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN ' contact: user7@example.com' ELSE '' END
+              || CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.0.1' ELSE '' END
+              || CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+       OR len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) > 0
+       OR len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0 AS has_pii
+FROM t
+""",
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import pii_scan
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" contact: user7@example.com")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" from 192.168.0.1")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(docs, "text", "doc_id")
+
+
+# =====================================================================
+# 54. Intra-document repetition signals (Gopher-style quality filters).
+# =====================================================================
+@query(
+    "repetition_signals",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens
+  FROM documents
+),
+top AS (
+  SELECT doc_id, MAX(c) AS topc FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT w.doc_id AS id, w.n_tokens, w.n_distinct_tokens,
+       1.0 - CAST(w.n_distinct_tokens AS DOUBLE)
+             / (CASE WHEN w.n_tokens > 0 THEN CAST(w.n_tokens AS DOUBLE) END) AS dup_token_frac,
+       CAST(COALESCE(top.topc, 0) AS DOUBLE)
+       / (CASE WHEN w.n_tokens > 0 THEN CAST(w.n_tokens AS DOUBLE) END) AS top_token_frac
+FROM w LEFT JOIN top ON top.doc_id = w.doc_id
+""",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import repetition_signals
+
+    return repetition_signals(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# =====================================================================
+# 58. Document chunking (training prep): overlapping 512-char windows with
+#     stride 384 — the 1→N reshaping before tokenization, sha-verified.
+# =====================================================================
+@query(
+    "chunk_documents",
+    oracle="""
+SELECT doc_id AS id, CAST(i AS INT) AS chunk_idx,
+       sha256(substr(text, CAST(i AS INT) * 384 + 1, 512)) AS chunk_sha,
+       length(substr(text, CAST(i AS INT) * 384 + 1, 512)) AS chunk_len
+FROM documents,
+     (SELECT unnest(generate_series(0, 63)) AS i) g  -- fixed series (docs < 24k chars); filtered per doc below
+WHERE i <= floor((greatest(length(text) - 512, 0) + 383) / 384)
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", 512, 384
+    )
+    return chunks.select(
+        "id",
+        "chunk_idx",
+        F.sha2(F.col("chunk_text"), 256).alias("chunk_sha"),
+        F.length("chunk_text").alias("chunk_len"),
+    )
+
+
+# =====================================================================
+# 59. Corpus vocabulary top-k (vocab building): exact term frequencies,
+#     distributed TakeOrderedAndProject (never a global window).
+# =====================================================================
+@query(
+    "top_tokens",
+    oracle=r"""
+SELECT tok, n, rank FROM (
+  SELECT tok, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rank
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+  GROUP BY tok
+) WHERE rank <= 20
+""",
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import heavy_hitters
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", k=20).select(
+        F.col("value").alias("tok"), "n", "rank"
+    )
+
+
+# =====================================================================
+# 24. Token document frequency (the IDF foundation for TF-IDF style
+#     weighting) — exact integers only: df + n_docs, never ln(N/df)
+#     (libm transcendentals are not bit-portable across engines; IDF is
+#     one division+log away for any consumer).
+# =====================================================================
+@query(
+    "token_doc_frequency",
+    oracle=r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tok, CAST(df AS BIGINT) AS df, rank, CAST(n_docs AS BIGINT) AS n_docs
+FROM (
+  SELECT tok, COUNT(*) AS df,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rank
+  FROM dt GROUP BY tok
+), tot
+WHERE rank <= 20
+""",
+)
+def q_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by document frequency: per-doc DISTINCT tokens first
+    (array_distinct before the explode — the exploded row count is bounded
+    by distinct tokens/doc, not raw token count), one hash-count shuffle on
+    the token, TakeOrdered for the top-k (never a global window over the
+    vocabulary), corpus size attached via a broadcast one-row aggregate."""
+    from data_validator_guard_spark.operators.text import heavy_hitters
+
+    docs = read_table(spark, sf_dir, "documents")
+    doc_tokens = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias(
+            "tok"
+        ),
+    )
+    top = heavy_hitters(doc_tokens, "tok", k=20).select(
+        F.col("value").alias("tok"), F.col("n").alias("df"), "rank"
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return top.crossJoin(F.broadcast(total))
