@@ -158,6 +158,21 @@ def minhash_signature(
     return sh.groupBy("id").agg(*aggs)
 
 
+def _band_table(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """Exploded banded signatures: ``id, band, val`` (val = '#'-joined rows)."""
+    r = k // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("#", *[F.col(f"mh{b * r + j}") for j in range(r)]).alias("val"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col("id"), F.explode(F.array(*band_structs)).alias("bv")
+    ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, k: int = 8, bands: int = 4, max_bucket: int | None = DEFAULT_MAX_BUCKET
 ) -> DataFrame:
@@ -168,18 +183,7 @@ def lsh_candidate_pairs(
     ``max_bucket`` (e.g. every empty-shingle document sharing one degenerate
     band value) are dropped by a count pre-pass — see ``_cap_buckets``.
     """
-    r = k // bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("#", *[F.col(f"mh{b * r + j}") for j in range(r)]).alias("val"),
-        )
-        for b in range(bands)
-    ]
-    exploded = sig.select(
-        F.col("id"), F.explode(F.array(*band_structs)).alias("bv")
-    ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-    exploded = _cap_buckets(exploded, ["band", "val"], max_bucket)
+    exploded = _cap_buckets(_band_table(sig, k, bands), ["band", "val"], max_bucket)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -252,6 +256,89 @@ def minhash_near_duplicates(
     sig = _track_persist(minhash_signature(df, text_col, id_col, k, n))
     pairs = lsh_candidate_pairs(sig, k, bands, max_bucket)
     shingles = _track_persist(shingle_table(df, text_col, id_col, n))
+    return jaccard_verify(pairs, shingles, threshold)
+
+
+def build_signature_store(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, n: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted-state half of incremental dedup: ``(signatures,
+    shingles)`` for a corpus, as a production run would sink them next to
+    the corpus itself (both are small relative to the corpus: k hex hashes /
+    distinct shingles per doc). Build once; every later batch joins against
+    these frames instead of re-shingling the corpus.
+    """
+    return (
+        minhash_signature(df, text_col, id_col, k, n),
+        shingle_table(df, text_col, id_col, n),
+    )
+
+
+def incremental_near_duplicates(
+    new_df: DataFrame,
+    corpus_sig: DataFrame,
+    corpus_shingles: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs for a NEW batch against an already-mined corpus:
+    ``id1, id2, jaccard`` for every pair touching >= 1 new document.
+
+    The incremental economics (the dedup twin of ``snapshot_diff``'s
+    incremental verdicts/stats): shingling and signing run over the BATCH
+    only; the corpus contributes its stored signature/shingle frames from
+    ``build_signature_store``. Candidate generation is one band-bucket join
+    over new ∪ store with store×store pairs excluded — those were emitted
+    when the store was built, so per-batch work is proportional to the batch
+    and its collisions, never to |corpus|².
+
+    Exact parity with a full re-run, by construction: ``_cap_buckets`` sees
+    the same combined bucket populations as a full-corpus run, so the output
+    equals ``minhash_near_duplicates(corpus ∪ batch)`` filtered to pairs
+    with at least one new id — pinned by test. Contract: batch ids must be
+    disjoint from store ids (same contract as appending to the corpus).
+
+    Reference parity: the reference re-validates whole tables per run
+    (validation_flow.py); incremental mining is this engine's scale
+    extension of its duplicate checks (general_validation.py:19-27).
+    """
+    new_sig = _track_persist(minhash_signature(new_df, text_col, id_col, k, n))
+    new_sh = _track_persist(shingle_table(new_df, text_col, id_col, n))
+    banded = (
+        _band_table(new_sig, k, bands)
+        .withColumn("is_new", F.lit(True))
+        .unionByName(_band_table(corpus_sig, k, bands).withColumn("is_new", F.lit(False)))
+    )
+    banded = _track_persist(_cap_buckets(banded, ["band", "val"], max_bucket))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.is_new") | F.col("b.is_new")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    pairs = _track_persist(pairs)
+    # Verify only needs shingles of candidate ids: semi-join the store down
+    # BEFORE the intersection join, so verify never shuffles the whole
+    # corpus shingle store per batch (store bucketed by id makes this a
+    # local filter in production).
+    cand_ids = (
+        pairs.select(F.col("id1").alias("id"))
+        .unionByName(pairs.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    shingles = corpus_shingles.unionByName(new_sh).join(cand_ids, "id", "left_semi")
     return jaccard_verify(pairs, shingles, threshold)
 
 

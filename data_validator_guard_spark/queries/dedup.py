@@ -117,6 +117,46 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(dup, "text", "doc_id", k=8, bands=4, n=3, threshold=0.7)
 
 
+# =====================================================================
+# 14b. Incremental near-dup (round 5): a NEW batch mined against the
+#      already-built corpus signature/shingle store — shingle/sign the
+#      batch only, band-join against the store, exclude store×store
+#      pairs (already emitted when the store was built). The dedup twin
+#      of incremental verdicts/stats. Oracle = the full-corpus MinHash
+#      pipeline filtered to pairs touching >= 1 new id, which is exactly
+#      the operator's parity contract.
+# =====================================================================
+_INCR_MINHASH_ORACLE = (
+    _MINHASH_CTES
+    + "SELECT id1, id2, jaccard FROM verified WHERE id1 >= 100000 OR id2 >= 100000"
+)
+
+
+@query("dedup_incremental", oracle=_INCR_MINHASH_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus = the original documents (store built once via
+    build_signature_store); batch = the perturbed '+suffix' copies
+    (doc_id + 100000). Result must equal the full-corpus run filtered to
+    pairs with at least one batch id — per-batch cost stays proportional
+    to the batch, never |corpus|² (reference re-runs whole tables per
+    validation cycle, validation_flow.py; this is the scale path)."""
+    from data_validator_guard_spark.operators.dedup import (
+        build_signature_store,
+        incremental_near_duplicates,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    batch = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra suffix tokens appended here")).alias("text"),
+        F.col("lang"),
+    )
+    sig, shingles = build_signature_store(docs, "text", "doc_id", k=8, n=3)
+    return incremental_near_duplicates(
+        batch, sig, shingles, "text", "doc_id", k=8, bands=4, n=3, threshold=0.7
+    )
+
+
 _NGRAM_ORACLE = (
     _NEAR_DUP_CTE
     + r""",

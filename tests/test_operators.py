@@ -370,6 +370,86 @@ def test_minhash_bucket_cap_defuses_degenerate_band(spark):
     assert got == {(1, 2)}
 
 
+def test_incremental_near_duplicates_matches_full_run(spark):
+    """incremental(batch, store) == full(corpus ∪ batch) filtered to pairs
+    touching >= 1 batch id, bit for bit — and store×store near-dups are
+    never re-emitted."""
+    from data_validator_guard_spark.operators.dedup import (
+        build_signature_store,
+        incremental_near_duplicates,
+        minhash_near_duplicates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog once more today " * 2
+    other = "entirely different words live in this second document corpus " * 2
+    corpus_rows = [
+        (1, base),                    # store near-dup pair (1, 2): must NOT re-emit
+        (2, base + " x"),
+        (3, other),
+    ]
+    batch_rows = [
+        (10, base + " y"),            # near-dup of store 1 and 2
+        (11, other + " z"),           # near-dup of store 3
+        (12, other + " z w"),         # near-dup of 11 (batch × batch)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+
+    sig, shingles = build_signature_store(corpus, "text", "doc_id")
+    inc = {
+        (r.id1, r.id2): r.jaccard
+        for r in incremental_near_duplicates(
+            batch, sig, shingles, "text", "doc_id", threshold=0.6
+        ).collect()
+    }
+    full = {
+        (r.id1, r.id2): r.jaccard
+        for r in minhash_near_duplicates(
+            corpus.unionByName(batch), "text", "doc_id", threshold=0.6
+        ).collect()
+    }
+    batch_ids = {10, 11, 12}
+    expected = {p: j for p, j in full.items() if p[0] in batch_ids or p[1] in batch_ids}
+    assert inc == expected                      # parity, jaccard values included
+    assert (1, 2) in full and (1, 2) not in inc  # store pair exists, not re-emitted
+    assert any(p[0] in batch_ids and p[1] in batch_ids for p in inc)  # batch×batch found
+
+
+def test_incremental_near_duplicates_cap_parity(spark):
+    """_cap_buckets sees the same combined bucket populations in the
+    incremental path as in a full run: a bucket degenerate only when store
+    and batch combine is dropped in BOTH, keeping parity exact."""
+    from data_validator_guard_spark.operators.dedup import (
+        build_signature_store,
+        incremental_near_duplicates,
+        minhash_near_duplicates,
+    )
+
+    # 8 store + 4 batch docs with ONE shared shingle → one band bucket of 12
+    corpus = spark.createDataFrame(
+        [(i, "one single shingle") for i in range(8)], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, "one single shingle") for i in range(4)], "doc_id bigint, text string"
+    )
+    sig, shingles = build_signature_store(corpus, "text", "doc_id")
+    inc = incremental_near_duplicates(
+        batch, sig, shingles, "text", "doc_id", threshold=0.1, max_bucket=10
+    ).count()
+    full = minhash_near_duplicates(
+        corpus.unionByName(batch), "text", "doc_id", threshold=0.1, max_bucket=10
+    ).count()
+    assert inc == 0 and full == 0  # 12 > 10 in both paths — identical pruning
+    # sanity: without the cap the pairs exist and parity still holds
+    inc_u = {
+        (r.id1, r.id2)
+        for r in incremental_near_duplicates(
+            batch, sig, shingles, "text", "doc_id", threshold=0.1, max_bucket=None
+        ).collect()
+    }
+    assert len(inc_u) == 8 * 4 + 4 * 3 // 2  # new×store + new×new, no store×store
+
+
 def test_ngram_block_cap_drops_dominant_block(spark):
     from data_validator_guard_spark.operators.dedup import ngram_jaccard_duplicates
 
