@@ -105,6 +105,61 @@ def psi_report(
     )
 
 
+def ks_report(current: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Kolmogorov–Smirnov drift statistic per group from two histograms
+    ``(grp, bucket, n)`` — the CDF companion to :func:`psi_report`, and
+    deliberately pure-JVM: cumulative counts are exact integers, each CDF
+    point is ONE division, and the statistic is a max over their absolute
+    differences, so the whole computation stays inside whole-stage codegen
+    (no pandas UDF) and is bit-reproducible across engines.
+
+    KS on binned data: the empirical CDFs are evaluated at the bucket
+    edges, so ``ks`` is the exact KS statistic of the binned distributions
+    (a lower bound on the unbinned statistic — finer edges tighten it).
+    Buckets absent from both sides leave the CDFs constant and cannot
+    affect the max; buckets absent from one side contribute a 0 count.
+
+    Output: ``grp string, ks double, n_cur bigint, n_base bigint``.
+    Scale shape: the input histograms are already tiny (groups x buckets);
+    the window runs per group over at most n_buckets rows.
+    """
+    from pyspark.sql import Window
+
+    joined = (
+        current.select("grp", "bucket", F.col("n").alias("n_cur"))
+        .join(
+            baseline.select("grp", "bucket", F.col("n").alias("n_base")),
+            ["grp", "bucket"],
+            "full_outer",
+        )
+        .fillna(0, subset=["n_cur", "n_base"])
+    )
+    w = Window.partitionBy("grp").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("grp")
+    # ANSI-safe: a group present on only one side has a zero total there —
+    # its CDF (and therefore its ks) is NULL, never a divide-by-zero abort.
+    tc = F.sum("n_cur").over(tot)
+    tb = F.sum("n_base").over(tot)
+    cdf_cur = F.when(tc > 0, F.sum("n_cur").over(w) / tc)
+    cdf_base = F.when(tb > 0, F.sum("n_base").over(w) / tb)
+    return (
+        joined.select(
+            "grp",
+            F.abs(cdf_cur - cdf_base).alias("__d"),
+            F.col("n_cur"),
+            F.col("n_base"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.max("__d").alias("ks"),
+            F.sum("n_cur").cast("bigint").alias("n_cur"),
+            F.sum("n_base").cast("bigint").alias("n_base"),
+        )
+    )
+
+
 def drift_violations(
     df: DataFrame, rule: Rule, part: Column, cur: DataFrame | None = None
 ) -> DataFrame:
@@ -132,19 +187,45 @@ def drift_violations(
         cur = df.groupBy(
             part.alias("partition"), F.col(group_col).alias("grp"), bucketize(value, edges).alias("bucket")
         ).agg(F.count(F.lit(1)).alias("n"))
-    # baseline is (grp, bucket, n) — constant across partitions; PSI runs per
-    # (partition, group) by carrying partition through the group key.
-    joined = (
-        cur.select("partition", "grp", "bucket", F.col("n").alias("n_cur"))
-        .join(
-            baseline.select("grp", "bucket", F.col("n").alias("n_base")),
-            ["grp", "bucket"],
-            "full_outer",
-        )
-        .fillna(0, subset=["n_cur", "n_base"])
-        .withColumn("partition", F.coalesce(F.col("partition"), F.lit("__all__")))
-    )
     n_buckets = len(edges)
+    # baseline is (grp, bucket, n) — constant across partitions, so every
+    # (partition, grp) pair seen in the CURRENT data must compare against the
+    # FULL baseline histogram of its grp. A naive full-outer join on
+    # (grp, bucket) detaches baseline-only buckets from the partition (they
+    # have no cur row to take it from), silently shrinking tot_b — a
+    # distribution that SHIFTED AWAY from its baseline buckets would
+    # under-count PSI and could pass (caught by
+    # test_incremental_drift_parity_with_full_run). Build the complete
+    # (partition, grp) x bucket grid instead — all three factors are tiny
+    # (the fine histogram's key space and a literal bucket range), so the
+    # grid and both joins stay broadcast-scale. Pairs present only in the
+    # baseline (a group with zero current rows in a partition) are out of
+    # scope: verdicts certify current data; disappearance is a min_rows /
+    # cardinality_range rule's job.
+    spark = cur.sparkSession
+    buckets = spark.createDataFrame(
+        [(i,) for i in range(-1, n_buckets)], "bucket int"
+    )
+    # join key: NULL grps are legal groupBy keys but vanish from equi-joins
+    # (NULL != NULL) — derive a null-safe string key, keep the original grp
+    # for the emitted violation row.
+    grpk = F.coalesce(F.col("grp").cast("string"), F.lit("\x00__null_grp__"))
+    curk = cur.select(
+        "partition", grpk.alias("__grpk"), "bucket", F.col("n").alias("n_cur")
+    )
+    basek = baseline.select(
+        grpk.alias("__grpk"), "bucket", F.col("n").cast("bigint").alias("n_base")
+    )
+    grid = (
+        cur.select("partition", "grp", grpk.alias("__grpk"))
+        .distinct()
+        .crossJoin(F.broadcast(buckets))
+    )
+    joined = (
+        grid.join(curk, ["partition", "__grpk", "bucket"], "left")
+        .join(basek, ["__grpk", "bucket"], "left")
+        .fillna(0, subset=["n_cur", "n_base"])
+    )
 
     def _stat(pdf: pd.DataFrame) -> pd.DataFrame:
         partv = pdf["partition"].iloc[0]
@@ -161,7 +242,7 @@ def drift_violations(
             psi += (p_ - q_) * math.log(p_ / q_)
         return pd.DataFrame({"partition": [partv], "grp": [grp], "psi": [psi]})
 
-    per_group = joined.groupBy("partition", "grp").applyInPandas(
+    per_group = joined.groupBy("partition", "__grpk").applyInPandas(
         _stat, "partition string, grp string, psi double"
     )
     drifted = per_group.filter(F.col("psi") > F.lit(threshold))

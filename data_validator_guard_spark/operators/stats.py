@@ -13,7 +13,9 @@ scan regardless of how many columns/stats are requested.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_validator_guard_spark.functions import is_blank
@@ -308,4 +310,123 @@ def equi_depth_histogram(
         .filter(F.col("__v").isNotNull())
         .groupBy(group_col, bucket)
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def functional_dependencies(
+    df: DataFrame, pairs: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """Approximate-schema profiling: does column A functionally determine
+    column B? One row per ``(determinant, dependent)`` pair with
+    ``n_keys`` (distinct determinant values, NULL counted as one group —
+    both engines' GROUP BY semantics), ``n_violating_keys`` (determinant
+    values mapped to more than one distinct non-NULL dependent value) and
+    ``fd_holds``. NULL dependents make no statement (count_distinct skips
+    them — the same convention as group_consistency's default, documented
+    there), so a key mapping to {X, NULL} still satisfies the FD.
+
+    The reference profiles its tables by eye (the codebook export,
+    `create_codebook.py`); this is the distributed form of the question a
+    rulebook author actually asks before writing a derived_equality or
+    group_consistency rule: "is this mapping even a function?".
+
+    Scale shape: one hash aggregation per pair — partial count_distinct
+    per input partition, then a merge keyed by the determinant — followed
+    by a one-row reduce; nothing is ever sorted and no key's rows are
+    gathered to one task beyond the count_distinct merge for that key.
+    Pairs are profiled independently (they group by different keys, so a
+    shared shuffle does not exist by construction); pass only the pairs a
+    rulebook draft actually proposes, not the O(n^2) closure.
+    """
+    out: DataFrame | None = None
+    for det, dep in pairs:
+        per_key = df.groupBy(F.col(det).alias("__k")).agg(
+            F.count_distinct(F.col(dep)).alias("__nvals")
+        )
+        row = per_key.agg(
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("__nvals") > 1).cast("bigint")).alias("n_violating_keys"),
+        ).select(
+            "determinant",
+            "dependent",
+            "n_keys",
+            "n_violating_keys",
+            (F.col("n_violating_keys") == 0).alias("fd_holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("functional_dependencies: no pairs given")
+    return out
+
+
+def partition_outlier_report(
+    df: DataFrame,
+    partition_by: str,
+    value,
+    tol_permille: int = 200,
+    null_tol_permille: int = 100,
+) -> DataFrame:
+    """Per-partition anomaly screen: flag partitions whose mean of
+    ``value`` deviates from the global mean by more than ``tol_permille``
+    per-mille (relative), or whose NULL rate deviates from the global NULL
+    rate by more than ``null_tol_permille`` per-mille (absolute) — the
+    "one shard of the corpus went bad" check that catches a broken
+    upstream writer before a drift rule ever fires.
+
+    Both flags are EXACT integer comparisons (the engine's exact-rank-key
+    style): ``|mean_p - mean_g| > tol * |mean_g|`` is cross-multiplied to
+    ``|sum_p*nval_g - sum_g*nval_p| * 1000 > tol * |sum_g| * nval_p`` in
+    ``decimal(38,0)`` — no float ever sits on the decision boundary, so
+    the verdict is bit-identical in any engine. The displayed ``mean_val``
+    / ``null_rate`` are one IEEE division each, rounded.
+
+    Bounds: |sum(value)| * n_values * 1000 must stay below 10^38 — holds
+    to 10^12 rows of 10^6-scale values (10^33) with 10^5 headroom.
+    Empty-value partitions (all NULL) have no mean: ``mean_outlier`` is
+    NULL there, never a silent False.
+
+    Scale shape: one narrow aggregation per partition + a one-row global
+    re-aggregate broadcast back — the partials frame is partition-count
+    sized, so the second pass is free; nothing re-reads the input.
+    """
+    part = F.coalesce(F.expr(partition_by).cast("string"), F.lit("__null__"))
+    v = F.expr(value) if isinstance(value, str) else value
+
+    def D(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    per = df.groupBy(part.alias("partition")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(v).alias("n_val"),
+        F.coalesce(F.sum(D(v)), F.lit(0).cast("decimal(38,0)")).alias("sum_val"),
+    )
+    g = per.agg(
+        F.sum("n_rows").alias("g_rows"),
+        F.sum("n_val").alias("g_val"),
+        F.sum("sum_val").cast("decimal(38,0)").alias("g_sum"),
+    )
+    j = per.crossJoin(F.broadcast(g))
+    mean_dev = (
+        F.abs(F.col("sum_val") * D(F.col("g_val")) - F.col("g_sum") * D(F.col("n_val")))
+        * F.lit(1000)
+    )
+    mean_thr = F.lit(int(tol_permille)) * F.abs(F.col("g_sum")) * D(F.col("n_val"))
+    null_p = F.col("n_rows") - F.col("n_val")
+    null_g = F.col("g_rows") - F.col("g_val")
+    null_dev = F.abs(D(null_p) * D(F.col("g_rows")) - D(null_g) * D(F.col("n_rows"))) * F.lit(1000)
+    null_thr = F.lit(int(null_tol_permille)) * D(F.col("n_rows")) * D(F.col("g_rows"))
+    return j.select(
+        "partition",
+        "n_rows",
+        # ANSI-safe: an all-NULL partition has no mean (n_val = 0) — emit
+        # NULL rather than divide by zero (its flag is NULL too, below).
+        F.round(
+            F.when(F.col("n_val") > 0, F.col("sum_val").cast("double") / F.col("n_val")),
+            6,
+        ).alias("mean_val"),
+        F.round(null_p.cast("double") / F.col("n_rows"), 6).alias("null_rate"),
+        F.when(F.col("n_val") > 0, mean_dev > mean_thr).alias("mean_outlier"),
+        (null_dev > null_thr).alias("null_outlier"),
     )

@@ -130,6 +130,69 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# 72. Kolmogorov–Smirnov drift (round 5): the CDF companion to drift_psi
+#     over the SAME fixed-edge histograms — max |CDF_cur - CDF_base| per
+#     language. Pure JVM: exact integer cumulative counts, one IEEE
+#     division per CDF point, no pandas UDF anywhere on this path.
+# =====================================================================
+def _ks_oracle() -> str:
+    edges = _DRIFT_EDGES
+    bucket_sql = f"CASE WHEN n_chars < {edges[0]} THEN -1 " + " ".join(
+        f"WHEN n_chars < {edges[i]} THEN {i - 1}" for i in range(1, len(edges))
+    ) + f" ELSE {len(edges) - 1} END"
+    return f"""
+WITH cur AS (
+  SELECT lang AS grp, {bucket_sql} AS bucket, COUNT(*) AS n_cur
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2
+),
+base AS (
+  SELECT lang AS grp, {bucket_sql} AS bucket, COUNT(*) AS n_base
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+j AS (
+  SELECT COALESCE(c.grp, b.grp) AS grp, COALESCE(c.bucket, b.bucket) AS bucket,
+         COALESCE(c.n_cur, 0) AS n_cur, COALESCE(b.n_base, 0) AS n_base
+  FROM cur c FULL OUTER JOIN base b ON c.grp = b.grp AND c.bucket = b.bucket
+),
+c AS (
+  SELECT grp,
+         SUM(n_cur) OVER (PARTITION BY grp ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(n_base) OVER (PARTITION BY grp ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         SUM(n_cur) OVER (PARTITION BY grp) AS tc,
+         SUM(n_base) OVER (PARTITION BY grp) AS tb
+  FROM j
+)
+SELECT grp AS lang,
+       round(MAX(abs(CAST(cc AS DOUBLE) / tc - CAST(cb AS DOUBLE) / tb)), 6) AS ks,
+       CAST(MAX(tc) AS BIGINT) AS n_cur, CAST(MAX(tb) AS BIGINT) AS n_base
+FROM c GROUP BY grp
+"""
+
+
+@query("drift_ks", oracle=_ks_oracle())
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS statistic per language between the odd-doc_id (current) and
+    even-doc_id (baseline) halves over the fixed drift edges. Every CDF
+    point is an exact integer cumulative count with ONE division, so the
+    pre-round values are bit-identical across engines (round(6) is the
+    house style, not a crutch here)."""
+    from data_validator_guard_spark.operators.drift import histogram, ks_report
+
+    docs = read_table(spark, sf_dir, "documents")
+    cur = histogram(docs.filter(F.col("doc_id") % 2 == 1), "lang", F.col("n_chars"), _DRIFT_EDGES)
+    base = histogram(docs.filter(F.col("doc_id") % 2 == 0), "lang", F.col("n_chars"), _DRIFT_EDGES)
+    rep = ks_report(cur, base)
+    return rep.select(
+        F.col("grp").alias("lang"),
+        F.round(F.col("ks"), 6).alias("ks"),
+        "n_cur",
+        "n_base",
+    )
+
+
+# =====================================================================
 # 63. Time-of-day profile + standalone fixed-bucket histogram (the drift
 #     module's histogram as a first-class reporting query).
 # =====================================================================

@@ -311,3 +311,110 @@ def q_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition", "column", "n_rows", "n_null", "n_blank",
         "min_val", "max_val", "sum_len", "recomputed",
     )
+
+
+# =====================================================================
+# 75. Incremental drift (round 5): the drift twin of incremental_verdicts
+#     — a fused drift rule (baseline = the old snapshot's per-lang
+#     histogram) rides the same fingerprint-diff machinery, so only the
+#     changed partition's histogram is re-scanned. Unchanged partitions
+#     carry the prior run's verdict, whose PSI is EXACTLY 0.0 (their
+#     current counts equal the baseline's bit for bit), while the changed
+#     'en' partition recomputes to PSI ~ (1/97)^2 >> the 1e-6 threshold.
+# =====================================================================
+_IDRIFT_EDGES = [0.0, 128.0, 192.0, 256.0, 384.0, 512.0]
+_IDRIFT_EPS = 1e-6
+_IDRIFT_BUCKET = (
+    f"CASE WHEN n_chars < {_IDRIFT_EDGES[0]} THEN -1 "
+    + " ".join(
+        f"WHEN n_chars < {_IDRIFT_EDGES[i]} THEN {i - 1}"
+        for i in range(1, len(_IDRIFT_EDGES))
+    )
+    + f" ELSE {len(_IDRIFT_EDGES) - 1} END"
+)
+
+_INC_DRIFT_ORACLE = f"""{_INC_CTE_PREFIX},
+lp AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS p, n_chars, text FROM new
+),
+lob AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS p, n_chars FROM old
+),
+curh AS (SELECT p, {_IDRIFT_BUCKET} AS bucket, COUNT(*) AS nc FROM lp GROUP BY 1, 2),
+baseh AS (SELECT p, {_IDRIFT_BUCKET} AS bucket, COUNT(*) AS nb FROM lob GROUP BY 1, 2),
+jh AS (
+  SELECT c.p, c.bucket, c.nc, COALESCE(b.nb, 0) AS nb
+  FROM curh c LEFT JOIN baseh b ON b.p = c.p AND b.bucket = c.bucket
+),
+tot AS (SELECT p, SUM(nc) AS tc, SUM(nb) AS tb FROM jh GROUP BY p),
+psi AS (
+  SELECT jh.p,
+         SUM((CAST(nc AS DOUBLE) / t.tc + {_IDRIFT_EPS}
+              - CAST(nb AS DOUBLE) / t.tb - {_IDRIFT_EPS})
+             * ln((CAST(nc AS DOUBLE) / t.tc + {_IDRIFT_EPS})
+                  / (CAST(nb AS DOUBLE) / t.tb + {_IDRIFT_EPS}))) AS psi
+  FROM jh JOIN tot t ON t.p = jh.p GROUP BY jh.p
+),
+nrows AS (
+  SELECT p, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank
+  FROM lp GROUP BY p
+)
+SELECT 'length_drift' AS rule_id, nrows.p AS "partition",
+       psi.psi <= {_IDRIFT_EPS} AS pass, n_rows,
+       CAST(CASE WHEN psi.psi > {_IDRIFT_EPS} THEN 1 ELSE 0 END AS BIGINT) AS n_violations,
+       nrows.p IN (SELECT p FROM chg) AS recomputed
+FROM nrows JOIN psi ON psi.p = nrows.p
+UNION ALL
+SELECT 'text_not_blank', p, n_blank = 0, n_rows, n_blank,
+       p IN (SELECT p FROM chg)
+FROM nrows
+"""
+
+
+@query("incremental_drift", oracle=_INC_DRIFT_ORACLE)
+def q_incremental_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental drift detection: same old/new snapshot pair as
+    incremental_verdicts; the suite carries a fused drift rule (the
+    north-rule shape — its current histogram falls out of the totals scan)
+    whose baseline is the OLD snapshot's per-lang n_chars histogram, plus
+    a row rule riding the same pass. The drift threshold (1e-6) sits two
+    orders of magnitude below the changed partition's PSI (~(1/97)^2) and
+    infinitely above the carried partitions' exact 0.0."""
+    from data_validator_guard_spark.operators.drift import histogram
+    from data_validator_guard_spark.operators.snapshot_diff import (
+        incremental_validate,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "langp", F.coalesce(F.col("lang").cast("string"), F.lit("__null__"))
+    )
+    new = docs
+    old = new.filter(~((F.col("lang") == "en") & (F.col("doc_id") % 97 == 0)))
+    baseline = histogram(old, "langp", F.col("n_chars"), _IDRIFT_EDGES)
+    suite = RuleSuite(
+        name="documents_incremental_drift",
+        rules=[
+            Rule("text_not_blank", "not_blank", ("text",)),
+            Rule(
+                "length_drift",
+                "drift",
+                (),
+                {
+                    "group_by": "langp",
+                    "value": "n_chars",
+                    "edges": _IDRIFT_EDGES,
+                    "baseline": baseline,
+                    "threshold": _IDRIFT_EPS,
+                },
+            ),
+        ],
+        partition_by="langp",
+        key_cols=("doc_id",),
+    )
+    return incremental_validate(
+        old,
+        new,
+        suite,
+        fingerprint_cols=["doc_id", "text", "lang", "source", "n_chars"],
+    )

@@ -230,3 +230,100 @@ def q_equidepth_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return equi_depth_histogram(docs, "lang", F.length("text"), n_buckets=4)
+
+
+# =====================================================================
+# 73. Functional-dependency profiling (round 5): "is this mapping even a
+#     function?" — the question a rulebook author asks before writing a
+#     derived_equality / group_consistency rule. doc_id -> source holds
+#     by construction (source = 'src' || doc_id % 20); source -> lang and
+#     lang -> source are genuinely violated in the data.
+# =====================================================================
+@query(
+    "fd_profile",
+    oracle="""
+WITH p AS (
+  SELECT 'doc_id' AS determinant, 'source' AS dependent,
+         COUNT(*) AS n_keys,
+         CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys
+  FROM (SELECT doc_id, COUNT(DISTINCT source) AS nv FROM documents GROUP BY doc_id)
+  UNION ALL
+  SELECT 'source', 'lang', COUNT(*),
+         CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT source, COUNT(DISTINCT lang) AS nv FROM documents GROUP BY source)
+  UNION ALL
+  SELECT 'lang', 'source', COUNT(*),
+         CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT lang, COUNT(DISTINCT source) AS nv FROM documents GROUP BY lang)
+)
+SELECT determinant, dependent, n_keys, n_violating_keys,
+       n_violating_keys = 0 AS fd_holds
+FROM p
+""",
+)
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency survey over documents: one exact two-level
+    aggregation per candidate pair (partial count_distinct per input
+    partition, merged by determinant), NULL determinants grouped, NULL
+    dependents ignored — identical GROUP BY / COUNT(DISTINCT) semantics
+    in both engines."""
+    from data_validator_guard_spark.operators.stats import functional_dependencies
+
+    docs = read_table(spark, sf_dir, "documents")
+    return functional_dependencies(
+        docs, [("doc_id", "source"), ("source", "lang"), ("lang", "source")]
+    )
+
+
+# =====================================================================
+# 74. Per-partition anomaly screen (round 5): flag partitions whose mean
+#     or NULL rate deviates from the global — exact-integer verdicts
+#     (decimal cross-multiplication), no float on the decision boundary.
+#     Planted: src3's values are tripled, src5 loses half its values.
+# =====================================================================
+@query(
+    "partition_outliers",
+    oracle="""
+WITH t AS (
+  SELECT source,
+         CASE WHEN source = 'src5' AND doc_id % 2 = 0 THEN NULL
+              WHEN source = 'src3' THEN n_chars * 3
+              ELSE n_chars END AS v
+  FROM documents
+),
+per AS (
+  SELECT source AS "partition", COUNT(*) AS n_rows, COUNT(v) AS n_val,
+         COALESCE(SUM(v), 0) AS sum_val
+  FROM t GROUP BY source
+),
+g AS (
+  SELECT SUM(n_rows) AS g_rows, SUM(n_val) AS g_val, SUM(sum_val) AS g_sum
+  FROM per
+)
+SELECT "partition", n_rows,
+       round(CAST(sum_val AS DOUBLE) / n_val, 6) AS mean_val,
+       round(CAST(n_rows - n_val AS DOUBLE) / n_rows, 6) AS null_rate,
+       CASE WHEN n_val > 0
+            THEN abs(sum_val * g_val - g_sum * n_val) * 1000 > 200 * abs(g_sum) * n_val
+       END AS mean_outlier,
+       abs((n_rows - n_val) * g_rows - (g_rows - g_val) * n_rows) * 1000
+         > 100 * n_rows * g_rows AS null_outlier
+FROM per, g
+""",
+)
+def q_partition_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly screen over documents partitioned by source, with a 3x mean
+    shift planted into src3 and a ~50% NULL rate planted into src5 — both
+    must flag; every honest partition must not."""
+    from data_validator_guard_spark.operators.stats import partition_outlier_report
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.when((F.col("source") == "src5") & (F.col("doc_id") % 2 == 0), F.lit(None))
+        .when(F.col("source") == "src3", F.col("n_chars") * 3)
+        .otherwise(F.col("n_chars"))
+        .alias("v"),
+    )
+    return partition_outlier_report(
+        docs, "source", "v", tol_permille=200, null_tol_permille=100
+    )

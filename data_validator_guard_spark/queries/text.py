@@ -273,3 +273,75 @@ def q_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return top.crossJoin(F.broadcast(total))
+
+
+# =====================================================================
+# 76. TF-IDF scoring against a fixed vocabulary (round 5): the weighting
+#     step on top of token_doc_frequency. The vocabulary (top-20 tokens
+#     by document frequency) and the corpus size are broadcast; per-doc
+#     term frequencies come from one hash aggregation after a broadcast
+#     semi-filter, so the heavy explode never shuffles unfiltered tokens.
+#     No ranking ever happens on the float score (ties across engines are
+#     a last-ulp hazard) — the exact-integer (tf, df) pair travels with
+#     each row and tfidf is one division + one ln + one multiply, rounded.
+# =====================================================================
+@query(
+    "tfidf_scores",
+    oracle=r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, df FROM (
+    SELECT tok, COUNT(*) AS df,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rank
+    FROM dt GROUP BY tok
+  ) WHERE rank <= 20
+),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+tf AS (
+  SELECT t.doc_id, t.tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents) t
+  JOIN vocab v ON v.tok = t.tok
+  GROUP BY t.doc_id, t.tok
+)
+SELECT tf.doc_id, tf.tok, CAST(tf.tf AS BIGINT) AS tf, CAST(v.df AS BIGINT) AS df,
+       CAST(tot.n_docs AS BIGINT) AS n_docs,
+       round(CAST(tf.tf AS DOUBLE) * ln(CAST(tot.n_docs AS DOUBLE) / v.df), 6) AS tfidf
+FROM tf JOIN vocab v ON v.tok = tf.tok, tot
+""",
+)
+def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import heavy_hitters
+
+    docs = read_table(spark, sf_dir, "documents")
+    doc_toks_distinct = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("tok"),
+    )
+    vocab = heavy_hitters(doc_toks_distinct, "tok", k=20).select(
+        F.col("value").alias("tok"), F.col("n").alias("df")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    tf = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id", "tok", "df")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "tok",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+            6,
+        ).alias("tfidf"),
+    )

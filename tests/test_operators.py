@@ -1575,3 +1575,136 @@ def test_equi_depth_histogram_all_null_raises(spark):
     empty = spark.createDataFrame([], "v long, grp string")
     with _pytest.raises(ValueError, match="every value is NULL"):
         equi_depth_histogram(empty, "grp", F.col("v"), 4)
+
+
+def test_ks_report_known_values(spark):
+    """KS over hand-built histograms: identical distributions -> 0.0;
+    a fully separated pair -> 1.0; a known partial overlap -> exact
+    fraction (every CDF point is an integer ratio)."""
+    from data_validator_guard_spark.operators.drift import ks_report
+
+    cur = spark.createDataFrame(
+        [("same", 0, 2), ("same", 1, 2),
+         ("disjoint", 0, 4),
+         ("half", 0, 3), ("half", 1, 1),
+         ("cur_only", 0, 7)],
+        "grp string, bucket int, n long",
+    )
+    base = spark.createDataFrame(
+        [("same", 0, 4), ("same", 1, 4),
+         ("disjoint", 1, 5),
+         ("half", 0, 1), ("half", 1, 3)],
+        "grp string, bucket int, n long",
+    )
+    got = {r.grp: (r.ks, r.n_cur, r.n_base) for r in ks_report(cur, base).collect()}
+    assert got["same"] == (0.0, 4, 8)
+    assert got["disjoint"] == (1.0, 4, 5)
+    # cur CDF at bucket0 = 3/4, base = 1/4 -> ks = 0.5 exactly
+    assert got["half"] == (0.5, 4, 4)
+    # one-sided group: no baseline mass -> no CDF to compare -> NULL ks,
+    # never a divide-by-zero abort (ANSI mode)
+    assert got["cur_only"] == (None, 7, 0)
+
+
+def test_functional_dependencies_null_semantics(spark):
+    """NULL dependents make no statement ({X, NULL} satisfies the FD);
+    NULL determinants are one group; a genuine {X, Y} key violates."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.operators.stats import functional_dependencies
+
+    df = spark.createDataFrame(
+        [
+            ("k1", "x"), ("k1", None),          # {x, NULL} -> holds
+            ("k2", "x"), ("k2", "y"),           # {x, y} -> violates
+            (None, "x"), (None, "x"),           # NULL key, consistent
+        ],
+        "a string, b string",
+    )
+    rows = {(r.determinant, r.dependent): r for r in
+            functional_dependencies(df, [("a", "b")]).collect()}
+    r = rows[("a", "b")]
+    assert r.n_keys == 3                        # k1, k2, NULL
+    assert r.n_violating_keys == 1              # k2 only
+    assert r.fd_holds is False
+
+    ok = functional_dependencies(df.filter("a IS DISTINCT FROM 'k2'"), [("a", "b")]).collect()[0]
+    assert ok.fd_holds is True
+
+    with _pytest.raises(ValueError, match="no pairs"):
+        functional_dependencies(df, [])
+
+
+def test_partition_outlier_exact_boundary(spark):
+    """The outlier verdicts are exact-integer comparisons: a partition
+    whose mean deviation is EXACTLY the threshold must NOT flag (strict >),
+    one ulp of planted extra mass must; an all-NULL partition reports a
+    NULL mean_outlier, never a silent False."""
+    from data_validator_guard_spark.operators.stats import partition_outlier_report
+
+    # two partitions, 2 rows each, values chosen so partition means are
+    # 10 and 30 -> global mean 20; relative deviation of each = 50%.
+    rows = [("a", 10), ("a", 10), ("b", 30), ("b", 30)]
+    df = spark.createDataFrame(rows, "p string, v long")
+    # tol exactly 500 permille: |mean_p - mu| == 0.5*mu -> strict > fails -> no flag
+    at = {r.partition: r for r in
+          partition_outlier_report(df, "p", "v", tol_permille=500).collect()}
+    assert at["a"].mean_outlier is False and at["b"].mean_outlier is False
+    # one permille tighter -> both flag
+    below = {r.partition: r for r in
+             partition_outlier_report(df, "p", "v", tol_permille=499).collect()}
+    assert below["a"].mean_outlier is True and below["b"].mean_outlier is True
+
+    # all-NULL partition: mean undefined -> NULL flag; its null_rate flags
+    rows2 = rows + [("c", None), ("c", None)]
+    df2 = spark.createDataFrame(rows2, "p string, v long")
+    # global null rate = 2/6; deviations: c = 667 permille, a/b = 333
+    out = {r.partition: r for r in
+           partition_outlier_report(df2, "p", "v", tol_permille=500,
+                                    null_tol_permille=400).collect()}
+    assert out["c"].mean_outlier is None
+    assert out["c"].null_outlier is True        # 100% vs global 33.3%
+    assert out["a"].null_outlier is False
+    assert out["c"].mean_val is None
+    assert out["c"].null_rate == 1.0
+
+
+def test_incremental_drift_parity_with_full_run(spark):
+    """Incremental drift verdicts (carried + recomputed) must equal a full
+    re-validation of the new snapshot bit for bit: drift is partition-local
+    against a fixed baseline, and unchanged partitions' PSI is exactly 0.0
+    when the baseline IS the prior snapshot's histogram."""
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.operators.drift import histogram
+    from data_validator_guard_spark.operators.snapshot_diff import incremental_validate
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    edges = [0.0, 10.0, 20.0]
+    old_rows = [(i, i % 30, ["a", "b"][i % 2]) for i in range(200)]
+    old = spark.createDataFrame(old_rows, "id long, v long, grp string")
+    # shift partition 'b' upward -> its histogram (and only its) drifts
+    new_rows = [(i, (i % 30) + (25 if i % 2 == 1 else 0), ["a", "b"][i % 2])
+                for i in range(200)]
+    new = spark.createDataFrame(new_rows, "id long, v long, grp string")
+
+    baseline = histogram(old, "grp", __import__("pyspark").sql.functions.col("v"), edges)
+    suite = RuleSuite(
+        name="incdrift",
+        rules=[Rule("v_drift", "drift", (), {
+            "group_by": "grp", "value": "v", "edges": edges,
+            "baseline": baseline, "threshold": 1e-6})],
+        partition_by="grp",
+        key_cols=("id",),
+    )
+    got = incremental_validate(old, new, suite, fingerprint_cols=["id", "v", "grp"])
+    rows = {r.partition: r for r in got.collect()}
+    assert rows["b"].recomputed is True
+    assert rows["b"]["pass"] is False and rows["b"].n_violations == 1
+    assert rows["a"].recomputed is False and rows["a"]["pass"] is True
+    assert rows["a"].n_violations == 0
+
+    want = sorted((r.rule_id, r.partition, r["pass"], r.n_rows, r.n_violations)
+                  for r in validate(new, suite)[0].collect())
+    got_cmp = sorted((r.rule_id, r.partition, r["pass"], r.n_rows, r.n_violations)
+                     for r in got.collect())
+    assert got_cmp == want
