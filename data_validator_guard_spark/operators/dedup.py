@@ -739,11 +739,24 @@ def apply_survivorship(
     practice; nothing ever sorts a cluster's rows.
     """
     q = quality if quality is not None else F.lit(0)
+    # NULL quality = unscored, which must lose to ANY scored copy: struct
+    # ordering sorts a NULL first field FIRST under min(), so a bare
+    # (-q, id) struct would crown the unscored copy as survivor. Lead the
+    # struct with an explicit scored/unscored flag; unscored-only clusters
+    # still fall back to min-id among themselves.
     ranked = (
-        df.select(F.col(id_col).alias("__sid"), (F.lit(-1) * q).alias("__negq"))
+        df.select(
+            F.col(id_col).alias("__sid"),
+            q.isNull().cast("int").alias("__qnull"),
+            F.coalesce(F.lit(-1) * q, F.lit(0)).alias("__negq"),
+        )
         .join(clusters.select(F.col("id").alias("__sid"), "cluster"), "__sid")
         .groupBy("cluster")
-        .agg(F.min(F.struct(F.col("__negq"), F.col("__sid"))).alias("__w"))
+        .agg(
+            F.min(
+                F.struct(F.col("__qnull"), F.col("__negq"), F.col("__sid"))
+            ).alias("__w")
+        )
         .select(F.col("__w.__sid").alias(id_col))
     )
     return df.join(ranked, [id_col], "left_semi")

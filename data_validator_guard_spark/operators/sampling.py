@@ -154,13 +154,18 @@ def stratified_sample_n(
     hash can displace the current n-th pick — exact-n quotas are re-draws
     by definition; use :func:`hash_sample` when membership stability
     matters more than exact counts.
+
+    NULL ids are never sampled (explicitly filtered, same semantics as
+    :func:`hash_sample`, whose NULL hash position fails the threshold):
+    a NULL id has no hash rank and no equi-join identity — every
+    hash-keyed operator here carries the non-NULL-id contract.
     """
     if n_per_stratum <= 0:
         raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
     if n_salts <= 0:
         raise ValueError(f"n_salts must be positive, got {n_salts}")
     h = F.md5(F.col(id_col).cast("string"))
-    narrow = df.select(
+    narrow = df.filter(F.col(id_col).isNotNull()).select(
         F.col(stratum_col).alias("__st"),
         h.alias("__h"),
         F.col(id_col).alias("__id"),

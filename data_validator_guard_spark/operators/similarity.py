@@ -545,8 +545,16 @@ def ivf_recall_curve(
             queries.select(F.count(F.lit(1)).alias("__n_queries"))
         )
     ).groupBy("__n_corpus", "__n_queries").agg(F.count(F.lit(1)).alias("n_exact"))
+    # every requested nprobe is a curve point, ALWAYS: driving the output
+    # from the candidate frame would silently drop a point whose probed
+    # cells contain zero candidates (tiny corpus / fine clustering) instead
+    # of reporting its honest recall of 0.
+    points = corpus.sparkSession.createDataFrame(
+        [(int(p),) for p in sorted(set(nprobes))], "nprobe int"
+    )
     return (
-        cands.join(hits, "nprobe", "left")
+        points.join(cands, "nprobe", "left")
+        .join(hits, "nprobe", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             F.col("nprobe").cast("bigint").alias("nprobe"),
@@ -556,9 +564,9 @@ def ivf_recall_curve(
                 F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
                 / F.col("n_exact").cast("double")
             ).alias("recall"),
-            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint").alias("n_candidates"),
             (
-                F.col("n_candidates").cast("double")
+                F.coalesce(F.col("n_candidates"), F.lit(0)).cast("double")
                 / (F.col("__n_queries") * (F.col("__n_corpus") - 1)).cast("double")
             ).alias("candidate_frac"),
         )

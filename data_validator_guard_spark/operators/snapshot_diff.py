@@ -65,8 +65,13 @@ def _canonical_field(df: DataFrame, c: str) -> Column:
     fingerprint columns or pre-round floats to a fixed decimal."""
     dt = df.schema[c].dataType.simpleString()
     col = F.col(c)
-    if dt.startswith("timestamp"):
+    if dt == "timestamp":
         return F.unix_micros(col).cast("string")
+    if dt == "timestamp_ntz":
+        # unix_micros rejects NTZ (no instant to convert); its string
+        # rendering is already wall-clock text, independent of the session
+        # timezone, so the plain cast IS the canonical form here.
+        return col.cast("string")
     if dt == "binary":
         return F.hex(col)
     return col.cast("string")
@@ -168,6 +173,25 @@ def _check_prior_rule_ids(prior_verdicts: DataFrame, suite: RuleSuite) -> None:
         )
 
 
+def _check_prior_violation_rule_ids(prior_violations: DataFrame, suite: RuleSuite) -> None:
+    """Violations twin of :func:`_check_prior_rule_ids` — SUBSET, not
+    equality: a rule with zero violations legitimately has no rows, but a
+    rule_id the suite does not know means the stored frame came from a
+    different rulebook and would silently carry stale rows."""
+    want = {r.rule_id for r in suite.rules}
+    rows = (
+        prior_violations.select("rule_id").distinct().limit(len(want) + 2).collect()
+    )
+    extra = {r[0] for r in rows} - want
+    if extra:
+        raise ValueError(
+            "prior_violations contains rule ids the suite does not define: "
+            f"{sorted(extra)[:5]} — the stored frame was produced by a "
+            "different rulebook; re-run a full validate when the rulebook "
+            "changes"
+        )
+
+
 def incremental_validate_full(
     old_df: DataFrame,
     new_df: DataFrame,
@@ -197,8 +221,13 @@ def incremental_validate_full(
     previous run (the ledger persists exactly these frames per snapshot —
     the reference's clone-then-clean cycle, `database/db.py:113-126`, kept
     both too). A user-supplied ``prior_verdicts`` is checked for rule-set
-    agreement with ``suite`` and rejected on mismatch (a prior frame from a
-    different rulebook would silently merge missing/extra rules).
+    agreement with ``suite`` and rejected on mismatch; a user-supplied
+    ``prior_violations`` is rejected if it carries rule ids the suite does
+    not define (subset check — a rule may legitimately have zero violation
+    rows). Supplying ``prior_verdicts`` WITHOUT ``prior_violations`` leaves
+    the violations side backed by a lazy full ``validate(old_df)``: correct,
+    but materializing that output costs a full scan of the prior snapshot —
+    a deployment that sinks violations should persist and pass BOTH frames.
 
     Scale shape: 2 fingerprint scans (narrow: partition expr + fingerprint
     columns), a partition-count-sized diff, then ONE re-validation whose
@@ -214,14 +243,16 @@ def incremental_validate_full(
         max_partitions=max_partitions,
     )
     part = _partition_col(suite.partition_by)
+    # only user-supplied frames need the guards: an inline-computed prior
+    # shares the suite by construction.
+    if prior_violations is not None:
+        _check_prior_violation_rule_ids(prior_violations, suite)
     if prior_verdicts is None:
         if prior_violations is None:
             prior_verdicts, prior_violations = validate(old_df, suite)
         else:
             prior_verdicts, _ = validate(old_df, suite)
     else:
-        # only user-supplied frames need the guard: an inline-computed prior
-        # shares the suite by construction.
         _check_prior_rule_ids(prior_verdicts, suite)
         if prior_violations is None:
             _, prior_violations = validate(old_df, suite)
@@ -282,6 +313,21 @@ def incremental_column_stats(
     )
     if prior_partials is None:
         prior_partials = partial_column_stats(old_df, list(columns), partition_by)
+    else:
+        # staleness guard (same contract as the verdicts path): partials
+        # stored for a DIFFERENT column set would silently carry rows
+        # missing (or adding) columns on every unchanged partition.
+        want = set(columns)
+        rows = (
+            prior_partials.select("column").distinct().limit(len(want) + 2).collect()
+        )
+        got = {r[0] for r in rows}
+        if got != want:
+            raise ValueError(
+                "prior_partials column set does not match the request: "
+                f"missing={sorted(want - got)} extra={sorted(got - want)[:5]} — "
+                "recompute the stored partials when the profiled columns change"
+            )
     carried = prior_partials.filter(~F.col("partition").isin(changed)).withColumn(
         "recomputed", F.lit(False)
     )

@@ -387,12 +387,28 @@ def partition_outlier_report(
     Empty-value partitions (all NULL) have no mean: ``mean_outlier`` is
     NULL there, never a silent False.
 
+    ``value`` must be integer-valued: the exact sums run in decimal(38,0),
+    which would silently round fractional values (a rate column in [0, 1]
+    would report mean 0 and never flag). Fractional inputs are REJECTED at
+    plan time — pre-quantize to a fixed grid first (``round(v * 10^k)``,
+    the same discipline as dedup's quality survivorship and the quantized
+    embedding kit).
+
     Scale shape: one narrow aggregation per partition + a one-row global
     re-aggregate broadcast back — the partials frame is partition-count
     sized, so the second pass is free; nothing re-reads the input.
     """
     part = F.coalesce(F.expr(partition_by).cast("string"), F.lit("__null__"))
     v = F.expr(value) if isinstance(value, str) else value
+    vt = df.select(v.alias("__v")).schema[0].dataType.simpleString()
+    if vt in ("double", "float") or (
+        vt.startswith("decimal(") and not vt.endswith(",0)")
+    ):
+        raise ValueError(
+            f"partition_outlier_report: value has fractional type {vt} — the "
+            "decimal(38,0) exact sums would silently round it; quantize to a "
+            "fixed integer grid first (e.g. cast(round(v * 1e6) as bigint))"
+        )
 
     def D(c: Column) -> Column:
         return c.cast("decimal(38,0)")

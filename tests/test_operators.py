@@ -1708,3 +1708,157 @@ def test_incremental_drift_parity_with_full_run(spark):
     got_cmp = sorted((r.rule_id, r.partition, r["pass"], r.n_rows, r.n_violations)
                      for r in got.collect())
     assert got_cmp == want
+
+
+def test_fingerprint_handles_timestamp_ntz(spark):
+    """Review fix: unix_micros rejects TIMESTAMP_NTZ; the canonical form for
+    NTZ is its (already timezone-free) string rendering — fingerprinting a
+    table with an NTZ column must work, and edits must still flip it."""
+    from data_validator_guard_spark.operators.snapshot_diff import (
+        partition_fingerprints,
+    )
+
+    df = spark.sql(
+        "SELECT 1 AS id, TIMESTAMP_NTZ '2024-01-01 10:00:00' AS ts, 'a' AS g "
+        "UNION ALL SELECT 2, TIMESTAMP_NTZ '2024-01-02 11:00:00', 'a'"
+    )
+    fp1 = partition_fingerprints(df, "g", ["id", "ts"]).collect()
+    assert len(fp1) == 1 and fp1[0].n_rows == 2
+    edited = spark.sql(
+        "SELECT 1 AS id, TIMESTAMP_NTZ '2024-01-01 10:00:01' AS ts, 'a' AS g "
+        "UNION ALL SELECT 2, TIMESTAMP_NTZ '2024-01-02 11:00:00', 'a'"
+    )
+    fp2 = partition_fingerprints(edited, "g", ["id", "ts"]).collect()
+    assert (fp1[0].fp_lo, fp1[0].fp_hi) != (fp2[0].fp_lo, fp2[0].fp_hi)
+
+
+def test_survivorship_null_quality_loses(spark):
+    """Review fix: an unscored (NULL-quality) copy must lose to ANY scored
+    copy — a bare min(struct(-q, id)) would sort the NULL field first and
+    crown the unscored row; unscored-only clusters fall back to min-id."""
+    from data_validator_guard_spark.operators.dedup import apply_survivorship
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, None), (3, 0.5), (10, None), (11, None)],
+        "doc_id long, q double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (10, 200), (11, 200)],
+        "id long, cluster long",
+    )
+    got = sorted(
+        r.doc_id
+        for r in apply_survivorship(df, clusters, "doc_id", F.col("q")).collect()
+    )
+    # cluster 100: best scored copy (0.9) wins over the NULL; cluster 200:
+    # all unscored -> min id
+    assert got == [1, 10]
+
+
+def test_partition_outlier_rejects_fractional_values(spark):
+    """Review fix: decimal(38,0) sums silently round fractional values (a
+    rate column would report mean 0 and never flag) — fail at plan time."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.operators.stats import partition_outlier_report
+
+    df = spark.createDataFrame([("a", 0.4), ("b", 0.1)], "p string, v double")
+    with _pytest.raises(ValueError, match="fractional"):
+        partition_outlier_report(df, "p", "v")
+    # quantized form works and flags
+    q = df.select("p", (F.round(F.col("v") * 10)).cast("bigint").alias("vq"))
+    flagged = {r.partition: r.mean_outlier
+               for r in partition_outlier_report(q, "p", "vq", tol_permille=200).collect()}
+    assert flagged == {"a": True, "b": True}
+
+
+def test_incremental_prior_frame_guards(spark):
+    """Review fixes: a stored prior_violations frame with unknown rule ids
+    and stored prior_partials with a different column set both fail fast."""
+    import pytest as _pytest
+
+    from data_validator_guard_spark.engine import validate
+    from data_validator_guard_spark.operators.snapshot_diff import (
+        incremental_column_stats,
+        incremental_validate_full,
+    )
+    from data_validator_guard_spark.operators.stats import partial_column_stats
+    from data_validator_guard_spark.rules import Rule, RuleSuite
+
+    # every 9th text blank so BOTH rulebooks actually emit violation rows
+    rows = [(i, "" if i % 9 == 0 else f"t{i}", ["a", "b"][i % 2]) for i in range(100)]
+    old = spark.createDataFrame(rows, "id long, text string, grp string")
+    new = spark.createDataFrame(rows + [(100, "x", "a")], "id long, text string, grp string")
+    suite = RuleSuite(
+        name="g",
+        rules=[Rule("text_not_blank", "not_blank", ("text",))],
+        partition_by="grp",
+        key_cols=("id",),
+    )
+    other = RuleSuite(
+        name="o",
+        rules=[Rule("renamed", "not_blank", ("text",))],
+        partition_by="grp",
+        key_cols=("id",),
+    )
+    prior_v, _ = validate(old, suite)
+    _, stale_x = validate(old, other)
+    with _pytest.raises(ValueError, match="rule ids the suite does not define"):
+        incremental_validate_full(
+            old, new, suite,
+            prior_verdicts=prior_v, prior_violations=stale_x,
+            fingerprint_cols=["id", "text", "grp"],
+        )
+    # a zero-violation rule (absent from the frame) is NOT an error: the
+    # subset check only rejects unknown ids
+    _, ok_x = validate(old, suite)
+    v, x = incremental_validate_full(
+        old, new, suite,
+        prior_verdicts=prior_v, prior_violations=ok_x,
+        fingerprint_cols=["id", "text", "grp"],
+    )
+    assert v.count() >= 2
+
+    stale_partials = partial_column_stats(old, ["text"], "grp")
+    with _pytest.raises(ValueError, match="column set does not match"):
+        incremental_column_stats(
+            old, new, columns=["text", "id"], partition_by="grp",
+            prior_partials=stale_partials,
+            fingerprint_cols=["id", "text", "grp"],
+        )
+
+
+def test_stratified_sample_skips_null_ids(spark):
+    """Review fix: NULL ids have no hash rank and no join identity — they
+    are never sampled (explicit filter, hash_sample-consistent), and the
+    quota is still filled from the non-NULL rows."""
+    from data_validator_guard_spark.operators.sampling import stratified_sample_n
+
+    rows = [(i, "s") for i in range(10)] + [(None, "s")]
+    df = spark.createDataFrame(rows, "id long, st string")
+    got = stratified_sample_n(df, "st", "id", 3).collect()
+    assert len(got) == 3 and all(r.id is not None for r in got)
+
+
+def test_recall_curve_reports_zero_candidate_points(spark):
+    """Review fix: an nprobe whose probed cells contain zero candidates must
+    appear on the curve with recall 0, not vanish — four well-separated
+    vectors, one cluster each: nprobe=1 probes only the query's own cell
+    (self excluded -> 0 candidates), nprobe=4 reaches everything."""
+    from data_validator_guard_spark.operators.similarity import ivf_recall_curve
+
+    vecs = [
+        (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]), (4, [0.0, -1.0]),
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    curve = {
+        r.nprobe: r
+        for r in ivf_recall_curve(
+            corpus, corpus, "embedding", "vec_id",
+            k=1, n_clusters=4, nprobes=(1, 4), iters=2,
+        ).collect()
+    }
+    assert set(curve) == {1, 4}
+    assert curve[1].n_candidates == 0 and curve[1].recall == 0.0
+    assert curve[4].recall == 1.0
