@@ -192,6 +192,43 @@ def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+PII_PLACEHOLDERS = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Scan-to-ACT companion of :func:`pii_scan`: replace every structured
+    PII match with a typed placeholder and return
+    ``id, n_redactions, redacted_sha256, redacted_len``.
+
+    Chained ``regexp_replace`` in a FIXED order (email → phone → ipv4) so
+    the transform is deterministic and identical under Java regex and RE2;
+    the placeholders contain no digits or ``@``, so an earlier replacement
+    can never create a later pattern's match (no rescan cascades). The
+    redaction count is computed on the ORIGINAL text with the same
+    patterns, so ``n_redactions`` equals the number of placeholders
+    inserted. Everything is expression-level (one projection, JVM-side,
+    whole-stage codegen); the redacted payload itself is returned as a
+    sha256 so callers can byte-verify the output of a rewrite job without
+    the oracle hashing megabytes of text. Scale: embarrassingly parallel,
+    zero shuffles — the same shape as the reference's per-cell cleaning
+    pass (data_cleaning.py) re-expressed as a single narrow projection.
+    """
+    t = F.col(text_col)
+    n_red = None
+    for p in PII_PATTERNS.values():
+        c = F.regexp_count(t, F.lit(p))
+        n_red = c if n_red is None else (n_red + c)
+    red = t
+    for k, p in PII_PATTERNS.items():
+        red = F.regexp_replace(red, p, PII_PLACEHOLDERS[k])
+    return df.select(
+        F.col(id_col),
+        n_red.cast("bigint").alias("n_redactions"),
+        F.sha2(red, 256).alias("redacted_sha256"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher-style intra-document repetition signals: ``id, n_tokens,
     n_distinct_tokens, dup_token_frac, top_token_frac``.

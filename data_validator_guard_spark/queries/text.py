@@ -140,6 +140,55 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# 46b. PII redaction (scan → ACT): the rewrite pass a training pipeline
+#      runs after the screen — typed placeholders, fixed replacement
+#      order, count + sha256 + length of the redacted payload so both
+#      engines byte-verify the transform without hashing megabytes.
+# =====================================================================
+@query(
+    "pii_redact",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN ' contact: user7@example.com' ELSE '' END
+              || CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.0.1' ELSE '' END
+              || CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567' ELSE '' END AS text
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+       + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+       + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_redactions,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_redactions AS BIGINT) AS n_redactions,
+       sha256(red) AS redacted_sha256,
+       CAST(length(red) AS BIGINT) AS redacted_len
+FROM r
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import pii_redact
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" contact: user7@example.com")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" from 192.168.0.1")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(docs, "text", "doc_id")
+
+
+# =====================================================================
 # 54. Intra-document repetition signals (Gopher-style quality filters).
 # =====================================================================
 @query(

@@ -310,3 +310,81 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     (``spark.table``, never ``read.parquet`` — a path read loses the spec
     and reintroduces the join-side shuffle)."""
     return spark.table(table)
+
+
+def plan_compaction(
+    spark: SparkSession, path: str, target_bytes: int = 256 * 1024 * 1024
+) -> dict:
+    """Inspect a parquet directory's physical layout and plan a compaction:
+    returns ``{n_files, total_bytes, target_files, skipped}`` where
+    ``target_files = max(1, ceil(total_bytes / target_bytes))`` and
+    ``skipped`` is True when the layout is already at-or-under the target
+    (compacting further would REWRITE data for no read-side gain).
+
+    Listing is driver-side filesystem metadata (one directory listing —
+    the same cost every Spark scan already pays at planning time), never a
+    data read. At 100 TB the small-files problem is the dominant silent
+    scan tax: 10^7 x 10 MB files means 10^7 scheduler tasks, 10^7 footer
+    reads and open/close round-trips; compaction to ~256 MB units cuts
+    task count ~25x with zero semantic change.
+    """
+    import math
+
+    total = 0
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith("."):
+                total += os.path.getsize(os.path.join(root, f))
+                n += 1
+    if n == 0:
+        raise ValueError(f"no parquet files under {path!r} — nothing to compact")
+    target = max(1, math.ceil(total / target_bytes))
+    return {
+        "n_files": n,
+        "total_bytes": total,
+        "target_files": target,
+        "skipped": n <= target,
+    }
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 256 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> dict:
+    """Rewrite a many-small-files parquet directory into ``target_files``
+    right-sized files (the maintenance half of S10's materialize-once
+    story; Iceberg calls this ``rewrite_data_files``, Delta ``OPTIMIZE``).
+
+    Layout strategy: ``coalesce(target_files)`` when shrinking — coalesce
+    merges existing partitions WITHOUT a shuffle, so compaction costs one
+    read + one write and zero exchanges. With ``sort_col`` the rewrite
+    instead uses ``repartitionByRange(target_files, sort_col)`` +
+    ``sortWithinPartitions`` — that DOES pay one range shuffle, and buys
+    min/max footer statistics so every later range predicate on
+    ``sort_col`` prunes whole files (the cheap cousin of Z-ordering; at
+    100 TB pruning beats the one-time shuffle after the first filtered
+    scan). Returns the plan dict with ``skipped`` False only if a rewrite
+    happened; a no-op plan writes nothing — idempotent daily-maintenance
+    semantics, and never compacts INTO the source directory (the read is
+    lazy; overwriting the input mid-scan would corrupt it).
+    """
+    plan = plan_compaction(spark, path, target_bytes)
+    if plan["skipped"] and sort_col is None:
+        return plan
+    # a sort_col rewrite is a LAYOUT change (buys footer min/max pruning),
+    # not a pure shrink — it proceeds even when the file count wouldn't drop.
+    plan["skipped"] = False
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        # never emit MORE files than the source had — this is maintenance,
+        # not a fragmenter; a tiny target_bytes must not explode task count.
+        n_out = min(plan["target_files"], plan["n_files"])
+        out = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
+    else:
+        out = df.coalesce(plan["target_files"])
+    out.write.mode("overwrite").parquet(out_path)
+    return plan

@@ -1862,3 +1862,39 @@ def test_recall_curve_reports_zero_candidate_points(spark):
     assert set(curve) == {1, 4}
     assert curve[1].n_candidates == 0 and curve[1].recall == 0.0
     assert curve[4].recall == 1.0
+
+
+def test_pii_redact_replaces_and_counts(spark):
+    """Redaction is scan-consistent: n_redactions equals pii_scan's total,
+    every structured match becomes its typed placeholder, and PII-free text
+    hashes to the identity transform."""
+    from pyspark.sql import functions as F
+
+    from data_validator_guard_spark.operators.text import pii_redact, pii_scan
+
+    rows = [
+        (1, "mail a@b.co and b@c.org, call 555-123-4567, host 10.0.0.1"),
+        (2, "no pii here at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    red = {r.doc_id: r for r in pii_redact(df, "text", "doc_id").collect()}
+    scan = {r.doc_id: r for r in pii_scan(df, "text", "doc_id").collect()}
+
+    assert red[1].n_redactions == 4 == (
+        scan[1].n_email + scan[1].n_phone + scan[1].n_ipv4
+    )
+    # verify the redacted payload via the same hash the operator emits
+    expected = "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP>"
+    got = df.where("doc_id=1").select(
+        F.sha2(F.lit(expected), 256).alias("h")
+    ).collect()[0].h
+    assert red[1].redacted_sha256 == got
+    assert red[1].redacted_len == len(expected)
+
+    clean_hash = df.where("doc_id=2").select(
+        F.sha2(F.col("text"), 256).alias("h")
+    ).collect()[0].h
+    assert red[2].n_redactions == 0 and red[2].redacted_sha256 == clean_hash
+    # NULL text → NULL through (no crash, no phantom redactions)
+    assert red[3].n_redactions is None and red[3].redacted_sha256 is None

@@ -134,3 +134,85 @@ def test_read_excel_minimal_workbooks(spark, tmp_path):
     df = read_excel(spark, str(d), ["pid", "city", "n"])
     got = {r.pid: (r.city, r.n) for r in df.collect()}
     assert got == {"P1": ("London", "3"), "P2": ("Paris", "4"), "P3": (None, "5")}
+
+
+def test_compact_small_files_shrinks_layout(spark, tmp_path):
+    """Maintenance op: 32 tiny files compact into the planned target count
+    with byte-identical content; an already-compact layout is a no-op
+    (idempotent daily maintenance)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_validator_guard_spark.sources import compact_small_files, plan_compaction
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    spark.range(10_000).withColumn("v", F.col("id") * 3).repartition(32).write.parquet(src)
+
+    def n_parquet(p):
+        return sum(
+            1
+            for root, _d, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+
+    assert n_parquet(src) == 32
+    plan = plan_compaction(spark, src, target_bytes=1 << 40)
+    assert plan["n_files"] == 32 and plan["target_files"] == 1 and not plan["skipped"]
+
+    done = compact_small_files(spark, src, out, target_bytes=1 << 40)
+    assert not done["skipped"] and n_parquet(out) == 1
+    a = spark.read.parquet(src).agg(
+        F.count("*").alias("n"), F.sum(F.hash("id", "v").cast("bigint")).alias("h")
+    ).collect()[0]
+    b = spark.read.parquet(out).agg(
+        F.count("*").alias("n"), F.sum(F.hash("id", "v").cast("bigint")).alias("h")
+    ).collect()[0]
+    assert (a.n, a.h) == (b.n, b.h)
+
+    # already-compact source: planning says skip, compact writes nothing
+    plan2 = plan_compaction(spark, out, target_bytes=1 << 40)
+    assert plan2["skipped"]
+    res = compact_small_files(spark, out, str(tmp_path / "noop"), target_bytes=1 << 40)
+    assert res["skipped"] and not os.path.exists(str(tmp_path / "noop"))
+
+
+def test_compact_sorted_layout_prunes_files(spark, tmp_path):
+    """sort_col variant: range-partitioned rewrite gives min/max footer
+    stats that let a point/range filter prune whole files — the read-side
+    payoff that justifies the rewrite's one shuffle."""
+    from pyspark.sql import functions as F
+
+    from data_validator_guard_spark.sources import compact_small_files
+
+    src = str(tmp_path / "frag2")
+    out = str(tmp_path / "sorted")
+    spark.range(40_000).withColumn("v", F.col("id") % 7).repartition(16).write.parquet(src)
+    # pick target_bytes for ~4 output files so the range layout is observable
+    from data_validator_guard_spark.sources import plan_compaction as _pc
+
+    total = _pc(spark, src, target_bytes=1 << 40)["total_bytes"]
+    compact_small_files(spark, src, out, target_bytes=max(1, total // 4), sort_col="id")
+    got = spark.read.parquet(src).count()
+    assert spark.read.parquet(out).count() == got
+    # file-level pruning: a narrow id range must touch ONE file's rows only.
+    # numFiles pruning is visible via the scan's partition/file metrics; at
+    # this tier assert the cheap invariant — per-file disjoint id ranges.
+    import os
+
+    files = sorted(
+        os.path.join(root, f)
+        for root, _d, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    assert len(files) > 1
+    ranges = []
+    for f in files:
+        r = spark.read.parquet(f).agg(F.min("id"), F.max("id")).collect()[0]
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, _hi2)}"
