@@ -546,6 +546,50 @@ def auto_n_planes(n_rows: int, target_bucket_size: int = 1_000) -> int:
     return max(1, math.ceil(math.log2(n_rows / target_bucket_size)))
 
 
+# Overflow guard bound shared by every exact-cosine consumer: with
+# |a|², |b|² < 3e16, Cauchy-Schwarz bounds |dot| < 3e16, so dot²·10⁴ < 9e36
+# and t²·|a|²·|b|² < 9e36 — both inside decimal(38,0).
+_N2_BOUND = 3 * 10**16
+
+
+def checked_norm2(qv: Column, op_name: str) -> Column:
+    """Exact |v|² over a quantized vector, with the decimal-overflow guard
+    woven INTO the returned expression (an unreferenced assert column would
+    be pruned by Catalyst): ``assert_true`` returns NULL on pass and raises
+    on violation, so the when() always yields n2 or fails the job loudly.
+    Under the engine's pinned ANSI mode a raw overflow would also error,
+    but cryptically mid-join; under legacy non-ANSI it would null out and
+    silently drop pairs while a HUGEINT oracle kept them — a data-dependent
+    engine/oracle divergence."""
+    n2 = _int_dot(qv, qv)
+    return F.when(
+        F.assert_true(
+            n2 < F.lit(_N2_BOUND),
+            F.lit(
+                f"{op_name}: |v|^2 >= {_N2_BOUND} — dim*(scale*|x|max)^2 "
+                "too large for exact decimal(38,0) arithmetic; reduce "
+                "`scale` or normalize the vectors"
+            ),
+        ).isNull(),
+        n2,
+    )
+
+
+def exact_cos_ge(dot: Column, na2: Column, nb2: Column, threshold_cents: int) -> Column:
+    """Exact boolean ``cos(a,b) >= threshold_cents/100`` over int64 inputs:
+    ``dot > 0  ∧  10000·dot² >= (100t)²·|a|²·|b|²`` evaluated in
+    decimal(38,0) (Spark) / HUGEINT (SQL oracles) — no floats ever touch
+    the decision, so the filter is byte-identical to any SQL oracle.
+    Inputs must respect the ``checked_norm2`` bound."""
+    t2 = threshold_cents * threshold_cents
+    d = dot.cast("decimal(38,0)")
+    lhs = (d * d) * F.lit(10000).cast("decimal(5,0)")
+    rhs = (F.lit(t2).cast("decimal(5,0)") * na2.cast("decimal(38,0)")) * nb2.cast(
+        "decimal(38,0)"
+    )
+    return (dot > 0) & (lhs >= rhs)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -577,38 +621,14 @@ def embedding_near_duplicates(
     exact duplicates have recall 1; near-duplicates have LSH recall < 1 by
     design.
     """
-    t2 = threshold_cents * threshold_cents
     base = df.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("__q")
-    )
-    # Overflow guard: with |a|², |b|² < 3e16, Cauchy-Schwarz bounds
-    # |dot| < 3e16, so dot²·10⁴ < 9e36 and t²·|a|²·|b|² < 9e36 — both inside
-    # decimal(38,0). Larger dim·(scale·|x|max)² inputs FAIL LOUDLY here with
-    # an actionable message (under the engine's pinned ANSI mode a raw
-    # overflow would also error, but cryptically mid-join; under legacy
-    # non-ANSI it would null out and silently drop pairs while the DuckDB
-    # HUGEINT oracle kept them — a data-dependent engine/oracle divergence).
-    _N2_BOUND = 3 * 10**16
-    n2 = _int_dot(F.col("__q"), F.col("__q"))
-    # assert_true is woven INTO the used __n2 expression (an unreferenced
-    # assert column would be pruned by Catalyst): it returns NULL on pass and
-    # raises on violation, so the when() always yields n2 or fails the job.
-    checked_n2 = F.when(
-        F.assert_true(
-            n2 < F.lit(_N2_BOUND),
-            F.lit(
-                f"embedding_near_duplicates: |v|^2 >= {_N2_BOUND} — "
-                "dim*(scale*|x|max)^2 too large for exact decimal(38,0) "
-                "arithmetic; reduce `scale` or normalize the vectors"
-            ),
-        ).isNull(),
-        n2,
     )
     keyed = base.select(
         "id",
         "__q",
         _int_lsh_bits(F.col("__q"), n_planes).alias("__bucket"),
-        checked_n2.alias("__n2"),
+        checked_norm2(F.col("__q"), "embedding_near_duplicates").alias("__n2"),
     )
     keyed = _track_persist(_cap_buckets(keyed, ["__bucket"], max_bucket))
     a, b = keyed.alias("a"), keyed.alias("b")
@@ -622,12 +642,9 @@ def embedding_near_duplicates(
         F.col("a.__n2").alias("__na2"),
         F.col("b.__n2").alias("__nb2"),
     )
-    dot = F.col("__dot").cast("decimal(38,0)")
-    na2 = F.col("__na2").cast("decimal(38,0)")
-    nb2 = F.col("__nb2").cast("decimal(38,0)")
-    lhs = (dot * dot) * F.lit(10000).cast("decimal(5,0)")
-    rhs = (F.lit(t2).cast("decimal(5,0)") * na2) * nb2
-    return pairs.filter((F.col("__dot") > 0) & (lhs >= rhs)).select("id1", "id2")
+    return pairs.filter(
+        exact_cos_ge(F.col("__dot"), F.col("__na2"), F.col("__nb2"), threshold_cents)
+    ).select("id1", "id2")
 
 
 # ------------------------------------------------- cluster assignment

@@ -571,3 +571,78 @@ def ivf_recall_curve(
             ).alias("candidate_frac"),
         )
     )
+
+# ------------------------------------------------------- semantic dedup
+def semantic_near_duplicates(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    iters: int = 1,
+    scale: int = 1000,
+    threshold_cents: int = 90,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: ``id1, id2`` with
+    cos(quantized a, quantized b) >= threshold_cents/100 AND both vectors in
+    the same IVF (k-means) cell — the embedding-space twin of the MinHash
+    pipeline, per Abbas et al. 2023 ("SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540).
+
+    Candidate generation is the deterministic integer k-means index this
+    module already ships (:func:`ivf_centroids` — md5-seeded, exact-L2
+    assignment, floor(sum/n) Lloyd updates): cells are SEMANTICALLY tight
+    regions, so near-duplicate recall per comparison is far higher than the
+    random-hyperplane LSH buckets of ``dedup.embedding_near_duplicates`` —
+    hyperplane signs split dense regions arbitrarily; centroids chase them.
+    Verification is the shared exact-integer cosine kit (``checked_norm2``
+    overflow guard + ``exact_cos_ge`` decimal(38,0) comparison), so no float
+    touches any decision and a SQL oracle reproduces the output bit for bit.
+    Identical vectors always share a cell (same exact L2 distances, same
+    centroid-id tiebreak), so exact duplicates have recall 1; near-dup pairs
+    straddling a cell boundary are the (measured, by the recall-curve
+    machinery) recall loss this family accepts by design.
+
+    100-TB shape: ONE quantized scan persisted (seeds + Lloyd + assignment
+    all reuse it), centroids broadcast (k rows), the quadratic verify runs
+    only within cells — the shuffle key is centroid_id. For corpora where
+    cells outgrow executors, raise n_clusters (cells shrink ~linearly) and
+    cap degenerate cells with ``max_cell`` (recall-only loss, same contract
+    as dedup's ``_cap_buckets``); survivors come from composing the output
+    with ``dedup.connected_components`` + ``dedup.apply_survivorship``.
+    """
+    from data_validator_guard_spark.operators.dedup import (
+        _cap_buckets,
+        _int_dot,
+        checked_norm2,
+        exact_cos_ge,
+    )
+
+    q = _quantized_frame(corpus, vec_col, id_col, scale)
+    cents = ivf_centroids(corpus, vec_col, id_col, n_clusters, iters, scale, _q=q)
+    assigned = _assign_to_centroids(q, cents)
+    cells = (
+        q.join(assigned, "id")
+        .select(
+            "id",
+            "__qv",
+            "centroid_id",
+            checked_norm2(F.col("__qv"), "semantic_near_duplicates").alias("__n2"),
+        )
+    )
+    cells = _cap_buckets(cells, ["centroid_id"], max_cell)
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id1"),
+        F.col("b.id").alias("id2"),
+        _int_dot(F.col("a.__qv"), F.col("b.__qv")).alias("__dot"),
+        F.col("a.__n2").alias("__na2"),
+        F.col("b.__n2").alias("__nb2"),
+    )
+    return pairs.filter(
+        exact_cos_ge(F.col("__dot"), F.col("__na2"), F.col("__nb2"), threshold_cents)
+    ).select("id1", "id2")

@@ -1898,3 +1898,41 @@ def test_pii_redact_replaces_and_counts(spark):
     assert red[2].n_redactions == 0 and red[2].redacted_sha256 == clean_hash
     # NULL text → NULL through (no crash, no phantom redactions)
     assert red[3].n_redactions is None and red[3].redacted_sha256 is None
+
+
+def test_semantic_near_duplicates_planted(spark):
+    """SemDeDup invariants that hold for ANY cell assignment: identical
+    vectors always pair (same cell by exact-L2 determinism, cos = 1);
+    below-threshold pairs never appear regardless of cell; the pair set is
+    monotone in the threshold; max_cell=1 empties every cell."""
+    from data_validator_guard_spark.operators import dedup
+    from data_validator_guard_spark.operators.similarity import (
+        semantic_near_duplicates,
+    )
+
+    base1 = [1.0] + [0.0] * 7
+    base2 = [0.0, 1.0] + [0.0] * 6
+    rows = [
+        (1, base1),
+        (2, base1),                       # exact dup of 1
+        (3, [0.99, 0.14] + [0.0] * 6),    # cos ~0.990 vs base1
+        (4, [0.70, 0.714] + [0.0] * 6),   # cos ~0.70 vs base1
+        (5, base2),
+        (6, base2),                       # exact dup of 5
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pair_set(t, **kw):
+        got = semantic_near_duplicates(
+            df, "embedding", "vec_id", n_clusters=2, iters=1,
+            threshold_cents=t, **kw,
+        ).collect()
+        return {(r.id1, r.id2) for r in got}
+
+    p95 = pair_set(95)
+    assert {(1, 2), (5, 6)} <= p95          # identical vectors: recall 1
+    assert (1, 4) not in p95 and (2, 4) not in p95  # cos 0.70 < 0.95
+    assert (1, 5) not in p95                 # orthogonal clusters
+    assert p95 <= pair_set(90)               # threshold monotonicity
+    assert pair_set(95, max_cell=1) == set()  # cap drops every cell
+    dedup.unpersist_intermediates()
