@@ -302,3 +302,104 @@ def chunk_documents(
             ),
         )
     )
+
+
+def duplicate_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document duplicated-segment detection (the CCNet/RefinedWeb
+    boilerplate screen): split each document on ``sep``, return one row per
+    segment that appears in >= ``min_docs`` DISTINCT documents —
+    ``seg_hash, n_docs, n_occurrences``. The segment travels as its md5
+    (boilerplate text can be megabytes; the hash is 32 bytes and is what
+    the removal pass keys on anyway).
+
+    Scale: one explode (map-side, no shuffle) + one hash aggregation keyed
+    by segment hash — the same shape as exact_duplicates, but at segment
+    granularity. Headers/footers/nav-chrome repeat across millions of pages;
+    their groups are big but the OUTPUT is only the distinct boilerplate
+    set, which is tiny relative to the corpus.
+    """
+    segs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), sep)).alias("seg"),
+    )
+    return (
+        segs.groupBy(F.md5(F.col("seg")).alias("seg_hash"))
+        .agg(
+            F.count_distinct(F.col("id")).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_duplicate_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+    min_docs: int = 3,
+) -> DataFrame:
+    """The ACT half of :func:`duplicate_segments`: rebuild every document
+    with its cross-document duplicated segments removed, preserving segment
+    order — ``id, n_segments, n_removed, cleaned_sha256, cleaned_len``.
+
+    The cleaned payload is emitted as sha256 + length (the pii_redact
+    contract: byte-verifiable without shipping megabytes through the
+    oracle). A document whose every segment was boilerplate cleans to the
+    empty string; NULL text stays NULL end to end.
+
+    Scale shape: explode -> aggregate duplicated hashes (tiny output,
+    auto-broadcast back) -> left_anti to drop boilerplate occurrences ->
+    regroup per document via sorted struct collect. The per-document state
+    of the rebuild is that document's own segments — bounded by document
+    size, never by corpus size; the only corpus-wide aggregation is the
+    segment-hash count whose output is the boilerplate set.
+    """
+    segs = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "seg"),
+    )
+    dup = (
+        segs.groupBy(F.md5(F.col("seg")).alias("seg_hash"))
+        .agg(F.count_distinct(F.col("id")).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("seg_hash")
+    )
+    kept = segs.join(
+        dup, F.md5(segs.seg) == dup.seg_hash, "left_anti"
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "seg"))),
+                lambda st: st.seg,
+            ),
+            sep,
+        ).alias("__cleaned"),
+    )
+    totals = segs.groupBy("id").agg(F.count(F.lit(1)).alias("n_segments"))
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    cleaned = F.when(
+        F.col("__text").isNotNull(), F.coalesce(F.col("__cleaned"), F.lit(""))
+    )
+    return (
+        base.join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_segments"), F.lit(0)).cast("bigint").alias("n_segments"),
+            (
+                F.coalesce(F.col("n_segments"), F.lit(0))
+                - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+            F.sha2(cleaned, 256).alias("cleaned_sha256"),
+            F.length(cleaned).cast("bigint").alias("cleaned_len"),
+        )
+    )

@@ -394,3 +394,97 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tfidf"),
     )
+
+
+# =====================================================================
+# 70. Cross-document duplicated-segment screen + removal (the CCNet /
+#     RefinedWeb boilerplate pass): planted nav-header (every 3rd doc)
+#     and copyright-footer (every 5th) segments, min_docs=3. The SCAN
+#     query returns the boilerplate set (hash, doc reach, occurrences);
+#     the CLEAN query rebuilds every document without it, order
+#     preserved, payload byte-verified via sha256 + length (the
+#     pii_redact contract).
+# =====================================================================
+_SEG_DOCS_CTE = r"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'NAV: home | about | contact' || chr(10) ELSE '' END
+         || text
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Copyright 2026 Example Corp' ELSE '' END AS text
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, unnest(a) AS seg, generate_subscripts(a, 1) AS idx
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS a FROM docs) t
+)
+"""
+
+
+def _planted_seg_docs(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("NAV: home | about | contact\n")
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\nCopyright 2026 Example Corp")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@query(
+    "duplicate_segments",
+    oracle=_SEG_DOCS_CTE
+    + """
+SELECT md5(seg) AS seg_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM segs GROUP BY seg_hash HAVING COUNT(DISTINCT doc_id) >= 3
+""",
+)
+def q_duplicate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import duplicate_segments
+
+    return duplicate_segments(
+        _planted_seg_docs(spark, sf_dir), "text", "doc_id", sep="\n", min_docs=3
+    )
+
+
+@query(
+    "segment_dedup_clean",
+    oracle=_SEG_DOCS_CTE
+    + """,
+dup AS (
+  SELECT md5(seg) AS seg_hash FROM segs
+  GROUP BY seg_hash HAVING COUNT(DISTINCT doc_id) >= 3
+),
+kept AS (
+  SELECT s.doc_id, s.idx, s.seg FROM segs s
+  WHERE md5(s.seg) NOT IN (SELECT seg_hash FROM dup)
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(seg, chr(10) ORDER BY idx) AS cleaned
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY doc_id)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(t.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(t.n_segments, 0) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       sha256(CASE WHEN d.text IS NOT NULL THEN COALESCE(r.cleaned, '') END) AS cleaned_sha256,
+       CAST(length(CASE WHEN d.text IS NOT NULL THEN COALESCE(r.cleaned, '') END) AS BIGINT) AS cleaned_len
+FROM docs d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def q_segment_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import remove_duplicate_segments
+
+    return remove_duplicate_segments(
+        _planted_seg_docs(spark, sf_dir), "text", "doc_id", sep="\n", min_docs=3
+    )

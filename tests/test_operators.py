@@ -1936,3 +1936,50 @@ def test_semantic_near_duplicates_planted(spark):
     assert p95 <= pair_set(90)               # threshold monotonicity
     assert pair_set(95, max_cell=1) == set()  # cap drops every cell
     dedup.unpersist_intermediates()
+
+
+def test_remove_duplicate_segments_rebuild(spark):
+    """Boilerplate removal: shared segments (>= min_docs docs) are dropped,
+    unique documents survive byte-identically (reconstruction identity),
+    an all-boilerplate doc cleans to the empty string, NULL text stays
+    NULL, and the scan/clean counts agree."""
+    from pyspark.sql import functions as F
+
+    from data_validator_guard_spark.operators.text import (
+        duplicate_segments,
+        remove_duplicate_segments,
+    )
+
+    nav = "NAV HEADER"
+    rows = [
+        (1, nav + "\nalpha body\n" + nav),   # boilerplate twice in one doc
+        (2, nav + "\nbeta body"),
+        (3, nav),                            # all-boilerplate
+        (4, "gamma body\nsolo segment"),     # untouched
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    scan = duplicate_segments(df, "text", "doc_id", sep="\n", min_docs=3).collect()
+    assert len(scan) == 1
+    assert scan[0].n_docs == 3 and scan[0].n_occurrences == 4
+
+    got = {
+        r.id: r
+        for r in remove_duplicate_segments(
+            df, "text", "doc_id", sep="\n", min_docs=3
+        ).collect()
+    }
+
+    def sha(s):
+        return spark.range(1).select(F.sha2(F.lit(s), 256).alias("h")).collect()[0].h
+
+    assert got[1].n_segments == 3 and got[1].n_removed == 2
+    assert got[1].cleaned_sha256 == sha("alpha body")
+    assert got[2].cleaned_sha256 == sha("beta body")
+    assert got[3].n_removed == 1 and got[3].cleaned_sha256 == sha("")
+    assert got[3].cleaned_len == 0
+    # reconstruction identity for a doc with no duplicated segments
+    assert got[4].n_removed == 0
+    assert got[4].cleaned_sha256 == sha("gamma body\nsolo segment")
+    assert got[5].cleaned_sha256 is None and got[5].n_segments == 0
