@@ -403,3 +403,55 @@ def remove_duplicate_segments(
             F.length(cleaned).cast("bigint").alias("cleaned_len"),
         )
     )
+
+
+def remove_repeated_segments_within(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Intra-document segment dedup (the RefinedWeb "remove duplicated
+    lines within a document" filter — the WITHIN-doc sibling of
+    :func:`remove_duplicate_segments`'s cross-doc pass): keep the FIRST
+    occurrence of each segment inside each document, drop the repeats,
+    rebuild order-preserved. Same output contract: ``id, n_segments,
+    n_removed, cleaned_sha256, cleaned_len``.
+
+    Scale: first-occurrence selection is groupBy(id, segment) -> min(idx)
+    — the shuffle key includes the doc id, so state per task is bounded by
+    a single document's segments, and no corpus-wide structure exists at
+    all (unlike the cross-doc pass there is no boilerplate set to build).
+    """
+    segs = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "seg"),
+    )
+    kept = segs.groupBy("id", "seg").agg(F.min("idx").alias("idx"))
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "seg"))),
+                lambda st: st.seg,
+            ),
+            sep,
+        ).alias("__cleaned"),
+    )
+    totals = segs.groupBy("id").agg(F.count(F.lit(1)).alias("n_segments"))
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    cleaned = F.when(F.col("__text").isNotNull(), F.coalesce(F.col("__cleaned"), F.lit("")))
+    return (
+        base.join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_segments"), F.lit(0)).cast("bigint").alias("n_segments"),
+            (
+                F.coalesce(F.col("n_segments"), F.lit(0))
+                - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+            F.sha2(cleaned, 256).alias("cleaned_sha256"),
+            F.length(cleaned).cast("bigint").alias("cleaned_len"),
+        )
+    )

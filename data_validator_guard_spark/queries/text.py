@@ -488,3 +488,62 @@ def q_segment_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_segments(
         _planted_seg_docs(spark, sf_dir), "text", "doc_id", sep="\n", min_docs=3
     )
+
+
+# =====================================================================
+# 71. Intra-document segment dedup (RefinedWeb "remove duplicated lines
+#     within document"): keep the first occurrence of each segment per
+#     doc. Planted repeats: a marker line around every 4th doc, the whole
+#     text doubled on every 6th (non-multiple-of-4) doc.
+# =====================================================================
+@query(
+    "segment_dedup_within",
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'REPEAT ME' || chr(10) || text || chr(10) || 'REPEAT ME'
+              WHEN doc_id % 6 = 0 THEN text || chr(10) || text
+              ELSE text END AS text
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, unnest(a) AS seg, generate_subscripts(a, 1) AS idx
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS a FROM docs) t
+),
+kept AS (SELECT doc_id, seg, MIN(idx) AS idx FROM segs GROUP BY doc_id, seg),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(seg, chr(10) ORDER BY idx) AS cleaned
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY doc_id)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(t.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(t.n_segments, 0) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       sha256(CASE WHEN d.text IS NOT NULL THEN COALESCE(r.cleaned, '') END) AS cleaned_sha256,
+       CAST(length(CASE WHEN d.text IS NOT NULL THEN COALESCE(r.cleaned, '') END) AS BIGINT) AS cleaned_len
+FROM docs d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def q_segment_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_validator_guard_spark.operators.text import (
+        remove_repeated_segments_within,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("REPEAT ME\n"), F.col("text"), F.lit("\nREPEAT ME")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.col("text"), F.lit("\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_repeated_segments_within(planted, "text", "doc_id", sep="\n")

@@ -1983,3 +1983,33 @@ def test_remove_duplicate_segments_rebuild(spark):
     assert got[4].n_removed == 0
     assert got[4].cleaned_sha256 == sha("gamma body\nsolo segment")
     assert got[5].cleaned_sha256 is None and got[5].n_segments == 0
+
+
+def test_remove_repeated_segments_within(spark):
+    """Intra-doc dedup keeps the FIRST occurrence (order preserved), never
+    touches cross-doc repeats, and shares the cross-doc pass's edge
+    contract (empty doc, NULL text)."""
+    from pyspark.sql import functions as F
+
+    from data_validator_guard_spark.operators.text import (
+        remove_repeated_segments_within,
+    )
+
+    rows = [
+        (1, "a\nb\na\nc\nb"),   # repeats of a and b dropped, order a,b,c
+        (2, "a"),                # same segment as doc 1 — cross-doc NOT touched
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: r
+        for r in remove_repeated_segments_within(df, "text", "doc_id").collect()
+    }
+
+    def sha(s):
+        return spark.range(1).select(F.sha2(F.lit(s), 256).alias("h")).collect()[0].h
+
+    assert got[1].n_segments == 5 and got[1].n_removed == 2
+    assert got[1].cleaned_sha256 == sha("a\nb\nc")
+    assert got[2].n_removed == 0 and got[2].cleaned_sha256 == sha("a")
+    assert got[3].cleaned_sha256 is None
