@@ -359,7 +359,9 @@ def remove_duplicate_segments(
     regroup per document via sorted struct collect. The per-document state
     of the rebuild is that document's own segments — bounded by document
     size, never by corpus size; the only corpus-wide aggregation is the
-    segment-hash count whose output is the boilerplate set.
+    segment-hash count whose output is the boilerplate set. The
+    per-document segment total comes straight from ``size(split(...))``
+    on the base scan — never a second explode + aggregation pass.
     """
     segs = df.select(
         F.col(id_col).alias("id"),
@@ -384,24 +386,38 @@ def remove_duplicate_segments(
             sep,
         ).alias("__cleaned"),
     )
-    totals = segs.groupBy("id").agg(F.count(F.lit(1)).alias("n_segments"))
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    return _finish_segment_rebuild(df, rebuilt, text_col, id_col, sep)
+
+
+def _finish_segment_rebuild(
+    df: DataFrame, rebuilt: DataFrame, text_col: str, id_col: str, sep: str
+) -> DataFrame:
+    """Shared tail of the segment-rebuild operators: join the kept-segment
+    aggregate back to the base frame and emit the output contract. The
+    per-document segment total is ``size(split(...))`` computed inline on
+    the base scan (NULL text -> 0), so no second explode/aggregation pass
+    over the corpus exists just to count segments."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        F.when(
+            F.col(text_col).isNotNull(), F.size(F.split(F.col(text_col), sep))
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_segments"),
+    )
     cleaned = F.when(
         F.col("__text").isNotNull(), F.coalesce(F.col("__cleaned"), F.lit(""))
     )
-    return (
-        base.join(totals, "id", "left")
-        .join(rebuilt, "id", "left")
-        .select(
-            "id",
-            F.coalesce(F.col("n_segments"), F.lit(0)).cast("bigint").alias("n_segments"),
-            (
-                F.coalesce(F.col("n_segments"), F.lit(0))
-                - F.coalesce(F.col("__n_kept"), F.lit(0))
-            ).cast("bigint").alias("n_removed"),
-            F.sha2(cleaned, 256).alias("cleaned_sha256"),
-            F.length(cleaned).cast("bigint").alias("cleaned_len"),
-        )
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        "n_segments",
+        (F.col("n_segments") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sha2(cleaned, 256).alias("cleaned_sha256"),
+        F.length(cleaned).cast("bigint").alias("cleaned_len"),
     )
 
 
@@ -438,20 +454,4 @@ def remove_repeated_segments_within(
             sep,
         ).alias("__cleaned"),
     )
-    totals = segs.groupBy("id").agg(F.count(F.lit(1)).alias("n_segments"))
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-    cleaned = F.when(F.col("__text").isNotNull(), F.coalesce(F.col("__cleaned"), F.lit("")))
-    return (
-        base.join(totals, "id", "left")
-        .join(rebuilt, "id", "left")
-        .select(
-            "id",
-            F.coalesce(F.col("n_segments"), F.lit(0)).cast("bigint").alias("n_segments"),
-            (
-                F.coalesce(F.col("n_segments"), F.lit(0))
-                - F.coalesce(F.col("__n_kept"), F.lit(0))
-            ).cast("bigint").alias("n_removed"),
-            F.sha2(cleaned, 256).alias("cleaned_sha256"),
-            F.length(cleaned).cast("bigint").alias("cleaned_len"),
-        )
-    )
+    return _finish_segment_rebuild(df, rebuilt, text_col, id_col, sep)
