@@ -203,23 +203,25 @@ def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Chained ``regexp_replace`` in a FIXED order (email → phone → ipv4) so
     the transform is deterministic and identical under Java regex and RE2;
     the placeholders contain no digits or ``@``, so an earlier replacement
-    can never create a later pattern's match (no rescan cascades). The
-    redaction count is computed on the ORIGINAL text with the same
-    patterns, so ``n_redactions`` equals the number of placeholders
-    inserted. Everything is expression-level (one projection, JVM-side,
-    whole-stage codegen); the redacted payload itself is returned as a
-    sha256 so callers can byte-verify the output of a rewrite job without
-    the oracle hashing megabytes of text. Scale: embarrassingly parallel,
-    zero shuffles — the same shape as the reference's per-cell cleaning
-    pass (data_cleaning.py) re-expressed as a single narrow projection.
+    can never create a later pattern's match (no rescan cascades). Each
+    pattern's count is taken on the text AS THAT STAGE SEES IT (the
+    original for email, the email-redacted text for phone, …), so
+    ``n_redactions`` equals the number of placeholders actually inserted
+    even when patterns overlap — counting every pattern on the original
+    would double-count e.g. a phone-shaped local part inside an email
+    (``555-123-4567@x.com`` is ONE replacement). Everything is
+    expression-level (one projection, JVM-side, whole-stage codegen); the
+    redacted payload itself is returned as a sha256 so callers can
+    byte-verify the output of a rewrite job without the oracle hashing
+    megabytes of text. Scale: embarrassingly parallel, zero shuffles —
+    the same shape as the reference's per-cell cleaning pass
+    (data_cleaning.py) re-expressed as a single narrow projection.
     """
-    t = F.col(text_col)
+    red = F.col(text_col)
     n_red = None
-    for p in PII_PATTERNS.values():
-        c = F.regexp_count(t, F.lit(p))
-        n_red = c if n_red is None else (n_red + c)
-    red = t
     for k, p in PII_PATTERNS.items():
+        c = F.regexp_count(red, F.lit(p))
+        n_red = c if n_red is None else (n_red + c)
         red = F.regexp_replace(red, p, PII_PLACEHOLDERS[k])
     return df.select(
         F.col(id_col),
@@ -318,6 +320,10 @@ def duplicate_segments(
     (boilerplate text can be megabytes; the hash is 32 bytes and is what
     the removal pass keys on anyway).
 
+    ``sep`` is applied as a regex by ``split`` (and as a LITERAL by the
+    removal pass's rejoin) — pass a regex-safe literal like ``"\\n"``;
+    a metacharacter separator would split and rejoin differently.
+
     Scale: one explode (map-side, no shuffle) + one hash aggregation keyed
     by segment hash — the same shape as exact_duplicates, but at segment
     granularity. Headers/footers/nav-chrome repeat across millions of pages;
@@ -352,7 +358,8 @@ def remove_duplicate_segments(
     The cleaned payload is emitted as sha256 + length (the pii_redact
     contract: byte-verifiable without shipping megabytes through the
     oracle). A document whose every segment was boilerplate cleans to the
-    empty string; NULL text stays NULL end to end.
+    empty string; NULL text stays NULL end to end. ``sep`` must be a
+    regex-safe literal (it splits as a regex and rejoins as a literal).
 
     Scale shape: explode -> aggregate duplicated hashes (tiny output,
     auto-broadcast back) -> left_anti to drop boilerplate occurrences ->
@@ -432,7 +439,8 @@ def remove_repeated_segments_within(
     :func:`remove_duplicate_segments`'s cross-doc pass): keep the FIRST
     occurrence of each segment inside each document, drop the repeats,
     rebuild order-preserved. Same output contract: ``id, n_segments,
-    n_removed, cleaned_sha256, cleaned_len``.
+    n_removed, cleaned_sha256, cleaned_len``; same ``sep`` contract
+    (regex-safe literal — splits as a regex, rejoins as a literal).
 
     Scale: first-occurrence selection is groupBy(id, segment) -> min(idx)
     — the shuffle key includes the doc id, so state per task is bounded by

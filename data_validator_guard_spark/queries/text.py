@@ -154,17 +154,24 @@ WITH t AS (
               || CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.0.1' ELSE '' END
               || CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567' ELSE '' END AS text
   FROM documents
+), s1 AS (
+  -- stage-wise: each pattern counts on the text AS ITS STAGE SEES IT, so
+  -- n_redactions = placeholders actually inserted even under overlaps
+  -- (a phone-shaped email local part is ONE email replacement, not two).
+  SELECT doc_id, text AS t0,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM t
+), s2 AS (
+  SELECT doc_id, t0, t1,
+         regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t2
+  FROM s1
 ), r AS (
   SELECT doc_id,
-         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-       + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
-       + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_redactions,
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
-           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red
-  FROM t
+         len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+       + len(regexp_extract_all(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+       + len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_redactions,
+         regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red
+  FROM s2
 )
 SELECT doc_id,
        CAST(n_redactions AS BIGINT) AS n_redactions,

@@ -372,6 +372,12 @@ def compact_small_files(
     semantics, and never compacts INTO the source directory (the read is
     lazy; overwriting the input mid-scan would corrupt it).
     """
+    if os.path.abspath(out_path) == os.path.abspath(path):
+        raise ValueError(
+            "compact_small_files: out_path must differ from the source path "
+            "— the read is lazy, so overwriting the input mid-scan would "
+            "corrupt it; write to a sibling directory and swap afterwards"
+        )
     plan = plan_compaction(spark, path, target_bytes)
     if plan["skipped"] and sort_col is None:
         return plan

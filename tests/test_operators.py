@@ -1876,6 +1876,7 @@ def test_pii_redact_replaces_and_counts(spark):
         (1, "mail a@b.co and b@c.org, call 555-123-4567, host 10.0.0.1"),
         (2, "no pii here at all"),
         (3, None),
+        (4, "reach me: 555-123-4567@corp.example.com"),  # phone-shaped local part
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     red = {r.doc_id: r for r in pii_redact(df, "text", "doc_id").collect()}
@@ -1898,6 +1899,15 @@ def test_pii_redact_replaces_and_counts(spark):
     assert red[2].n_redactions == 0 and red[2].redacted_sha256 == clean_hash
     # NULL text → NULL through (no crash, no phantom redactions)
     assert red[3].n_redactions is None and red[3].redacted_sha256 is None
+    # overlap: the whole thing is ONE email match — stage-wise counting
+    # must report exactly the placeholders inserted, while the scan's
+    # per-pattern counts on the original text see phone+email (2).
+    assert red[4].n_redactions == 1
+    assert scan[4].n_email + scan[4].n_phone == 2
+    h4 = df.where("doc_id=4").select(
+        F.sha2(F.lit("reach me: <EMAIL>"), 256).alias("h")
+    ).collect()[0].h
+    assert red[4].redacted_sha256 == h4
 
 
 def test_semantic_near_duplicates_planted(spark):

@@ -216,3 +216,17 @@ def test_compact_sorted_layout_prunes_files(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, _hi2)}"
+
+
+def test_compact_refuses_source_as_destination(spark, tmp_path):
+    """The lazy-read corruption guard: compacting INTO the source directory
+    must fail loudly before any write starts."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_validator_guard_spark.sources import compact_small_files
+
+    src = str(tmp_path / "frag3")
+    spark.range(100).withColumn("v", F.col("id")).repartition(4).write.parquet(src)
+    with pytest.raises(ValueError, match="must differ from the source"):
+        compact_small_files(spark, src, src, target_bytes=1 << 40, sort_col="id")
