@@ -190,6 +190,160 @@ def stratified_sample_n(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens: Column,
+    budget_by_group: dict[str, int],
+    default_budget: int = 0,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic token-budget mixture sampling: per group, keep documents
+    in md5(id) priority order until the group's TOKEN budget is filled.
+
+    Training mixtures are specified in tokens, not documents ("300B tokens of
+    web, 100B of code") — :func:`mixture_sample`'s per-row ppm rate can only
+    approximate that through the mean document length. This operator is the
+    exact version: order each group's documents by ``hash_position(id)`` (the
+    same growth-stable priority every sampler here uses) and keep a document
+    iff the total tokens of all earlier documents in that order is still
+    below the group's budget — i.e. the minimal prefix that reaches the
+    budget (overshoot < one document). Deterministic, RNG-free, and
+    reproducible across engines: membership depends only on ids, token
+    counts, and the budget dict.
+
+    Scale design — the naive form is ``Window.partitionBy(group).orderBy
+    (hash)`` + running sum: a single-task sort of the hottest group (the
+    ``stratified_sample_n`` round-4 lesson). Instead the hash space is cut
+    into ``n_buckets`` coarse ranges (bucket = high bits of hash_position, so
+    (bucket, hash) order IS hash order):
+
+    1. One aggregation to (group, bucket) token sums — ≤ |groups|·n_buckets
+       tiny rows regardless of corpus size.
+    2. A window over that tiny frame yields each bucket's tokens-before-it
+       (``cb``) within its group.
+    3. Rows join back to their bucket's ``cb`` (equi-join on (group, bucket);
+       AQE broadcasts it when small) and a window partitioned by
+       **(group, bucket)** — task state bounded by one bucket's population,
+       ~|group|/n_buckets — computes the within-bucket running sum. The
+       row's exact global prior is ``cb + within-bucket tokens before it``,
+       and the keep rule ``prior < budget`` is applied uniformly: buckets
+       entirely below the budget keep everything, entirely above drop
+       everything, and the one straddling bucket is cut exactly — no
+       classification step needed, the arithmetic is identical for all
+       three cases.
+
+    ``n_buckets`` must be a power of two (buckets are high-bit prefixes of
+    the 2^48 hash space); size it so |hottest group|/n_buckets fits a task.
+    The input is scanned twice (bucket sums, then the row pass); a lazy
+    select does NOT avoid that — if ``tokens`` is derived from a wide
+    payload column, both scans still read the payload. At corpus scale,
+    pass a frame whose token counts are already materialized (the stats
+    ledger / a persisted (id, group, tokens) projection) so both passes
+    prune the payload.
+    NULL ids are never sampled (no hash identity — the house contract);
+    NULL-group rows form their own group at ``default_budget`` (the join is
+    null-safe). Token counts are coalesced to 0 (a NULL-text document costs
+    nothing against the budget but still occupies its hash slot).
+    """
+    if not (1 <= n_buckets <= 2**20) or (n_buckets & (n_buckets - 1)) != 0:
+        raise ValueError(f"n_buckets must be a power of two in [1, 2^20], got {n_buckets}")
+    for g, b in budget_by_group.items():
+        if g is None:
+            raise ValueError(
+                "budget_by_group key None is unreachable (col == NULL never "
+                "matches) — NULL groups take default_budget by construction"
+            )
+        if b < 0:
+            raise ValueError(f"budget for group {g!r} must be >= 0, got {b}")
+    if default_budget < 0:
+        raise ValueError(f"default_budget must be >= 0, got {default_budget}")
+    internal = ("__tbs_g", "__tbs_b", "__tbs_h", "__tbs_t", "__tbs_cb", "__tbs_cum")
+    clash = [c for c in internal if c in df.columns]
+    if clash:
+        raise ValueError(f"df columns clash with internal names: {clash}")
+
+    shift = 48 - n_buckets.bit_length() + 1  # hash space is 2^48 wide
+    hpos = _hash_position(F.col(id_col))
+    rows = (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("__tbs_h", hpos)
+        .withColumn("__tbs_b", F.shiftrightunsigned(F.col("__tbs_h"), shift))
+        .withColumn("__tbs_t", F.coalesce(tokens.cast("bigint"), F.lit(0)))
+    )
+    bucket_sums = rows.groupBy(
+        F.col(group_col).alias("__tbs_g"), F.col("__tbs_b").alias("__tbs_jb")
+    ).agg(F.sum("__tbs_t").alias("__tbs_bt"))
+    wb = (
+        Window.partitionBy("__tbs_g")
+        .orderBy("__tbs_jb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucket_cb = bucket_sums.select(
+        "__tbs_g",
+        "__tbs_jb",
+        (F.sum("__tbs_bt").over(wb) - F.col("__tbs_bt")).alias("__tbs_cb"),
+    )
+    joined = rows.join(
+        bucket_cb,
+        rows[group_col].eqNullSafe(bucket_cb["__tbs_g"])
+        & (rows["__tbs_b"] == bucket_cb["__tbs_jb"]),
+        "inner",
+    ).drop("__tbs_g", "__tbs_jb")
+    wr = Window.partitionBy(F.col(group_col), F.col("__tbs_b")).orderBy(
+        F.col("__tbs_h").asc(), F.col(id_col).asc()
+    )
+    budget: Column = F.lit(default_budget).cast("bigint")
+    for g, b in budget_by_group.items():
+        budget = F.when(F.col(group_col) == F.lit(g), F.lit(b).cast("bigint")).otherwise(
+            budget
+        )
+    prior = (
+        F.col("__tbs_cb")
+        + F.sum("__tbs_t").over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - F.col("__tbs_t")
+    )
+    return (
+        joined.withColumn("__tbs_keep", prior < budget)
+        .filter(F.col("__tbs_keep"))
+        .select(*df.columns)
+    )
+
+
+def training_order(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """Deterministic global training order WITHOUT a global sort:
+    ``id, shard, position`` where shard = hash_position(id) mod n_shards and
+    position = rank of the id within its shard by (hash_position, id).
+
+    The "shuffle the corpus for training" primitive: a data loader that
+    reads shard files in index order and rows in position order visits the
+    corpus in a fixed pseudo-random permutation — reproducible across runs
+    and engines, no RNG state, no driver participation. One shuffle on the
+    shard key; per-task window state is |corpus|/n_shards, so n_shards
+    scales with the corpus exactly like ``pack_sequences``'s hash shards
+    (operators/packing.py). Growth behavior: adding documents never changes
+    an existing document's shard (pure hash) but does renumber positions
+    after the insertion point within that shard — positions are an ordering,
+    not an identity. NULL ids carry no hash identity and are excluded (house
+    contract, same as every hash-keyed sampler here).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    hpos = _hash_position(F.col(id_col))
+    narrow = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.pmod(hpos, F.lit(n_shards)).cast("bigint").alias("shard"),
+        hpos.alias("__to_h"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__to_h").asc(), F.col(id_col).asc())
+    return narrow.select(
+        F.col(id_col),
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("position"),
+    )
+
+
 def grouped_exact_quantiles(
     df: DataFrame,
     group_col: str,

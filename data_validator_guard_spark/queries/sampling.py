@@ -138,3 +138,87 @@ def q_mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
     return mixture_sample(docs, "source", "doc_id", _MIXTURE_PPM, _MIXTURE_DEFAULT_PPM)
+
+
+# =====================================================================
+# 28. Token-budget mixture sampling (round 5): budgets in TOKENS, not rows
+#     — per source, keep documents in md5(doc_id) priority order until the
+#     source's token budget is filled (minimal prefix reaching the budget).
+#     The engine computes the running sum two-level (coarse hash-bucket
+#     cumsum + a window bounded by one bucket's population — no task ever
+#     sorts a whole source); the oracle is the naive single-window running
+#     sum, which the two-level form provably equals for any bucketing.
+# =====================================================================
+_TOKEN_BUDGETS = {"src0": 800, "src1": 800, "src2": 800}
+_TOKEN_BUDGET_DEFAULT = 250
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 0) AS n_tokens,
+         {_hex12_sql("md5(CAST(doc_id AS VARCHAR))")} AS hpos
+  FROM documents WHERE doc_id IS NOT NULL
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY hpos, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM c
+WHERE cum - n_tokens < CASE WHEN source IN ('src0', 'src1', 'src2')
+                            THEN 800 ELSE 250 END
+"""
+
+
+@query("token_budget_sample", oracle=_TOKEN_BUDGET_ORACLE)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget mixture: 800 whitespace-tokens of src0/1/2, 250 of
+    every other source, selected in deterministic md5(doc_id) priority order
+    (the minimal prefix reaching each budget — overshoot < one document).
+    Two-level running sum: bucket cumsum over a |sources| x 4096 frame, then
+    a window partitioned by (source, bucket) — task state is one bucket's
+    population, never a whole source."""
+    from data_validator_guard_spark.operators.sampling import token_budget_sample
+    from data_validator_guard_spark.operators.text import ws_token_count
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ws_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    return token_budget_sample(
+        docs, "source", "doc_id", F.col("n_tokens"), _TOKEN_BUDGETS, _TOKEN_BUDGET_DEFAULT
+    )
+
+
+# =====================================================================
+# 29. Deterministic training order (round 5): shard + position assignment —
+#     the "shuffle the corpus for training" primitive. Shard = hash mod
+#     n_shards (one shuffle); position = rank within shard by (hash, id),
+#     task state |corpus|/n_shards. A loader reading shards in index order
+#     visits a fixed pseudo-random permutation, no RNG state anywhere.
+# =====================================================================
+_TRAINING_ORDER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_hex12_sql("md5(CAST(doc_id AS VARCHAR))")} AS hpos
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT doc_id,
+       CAST(hpos % 16 AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hpos % 16 ORDER BY hpos, doc_id)
+            AS BIGINT) AS position
+FROM t
+"""
+
+
+@query("training_order", oracle=_TRAINING_ORDER_ORACLE)
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order assignment over documents: 16 shards,
+    position = rank within shard by (md5 position, id) — a reproducible
+    corpus permutation without a global sort or any RNG."""
+    from data_validator_guard_spark.operators.sampling import training_order
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return training_order(docs, "doc_id", 16)

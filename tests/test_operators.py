@@ -1040,6 +1040,118 @@ def test_mixture_sample_equals_per_group_hash_samples(spark):
         mixture_sample(df, "grp", "doc_id", {}, default_ppm=-1)
 
 
+def test_token_budget_sample_exact_prefix_and_skew_parity(spark):
+    """token_budget_sample == the naive single-window running-sum rule, for
+    any bucketing (n_buckets 1 / 4 / 4096 all agree), on a frame whose hot
+    group holds 70% of the rows; the kept set is the minimal hash-order
+    prefix reaching the budget (kept total >= budget unless the whole group
+    is kept, and dropping the last kept doc dips below the budget); NULL ids
+    are excluded; NULL groups get default_budget; unlisted groups at the
+    default of 0 keep nothing."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from data_validator_guard_spark.operators.sampling import token_budget_sample
+
+    rows = (
+        [(i, "hot", 5 + i % 7) for i in range(700)]
+        + [(1000 + i, "cold", 3 + i % 5) for i in range(200)]
+        + [(2000 + i, None, 4) for i in range(100)]
+        + [(None, "hot", 99)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string, toks long")
+    budgets = {"hot": 300, "cold": 10_000}
+
+    def naive(default_budget):
+        by_grp: dict = {}
+        for i, g, t in rows:
+            if i is None:
+                continue
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+            by_grp.setdefault(g, []).append((h, i, t))
+        kept = set()
+        for g, docs in by_grp.items():
+            budget = budgets.get(g, default_budget) if g is not None else default_budget
+            run = 0
+            for h, i, t in sorted(docs):
+                if run < budget:
+                    kept.add(i)
+                run += t
+        return kept
+
+    from pyspark.sql import functions as SF
+
+    for n_buckets in (1, 4, 4096):
+        got = {
+            r.doc_id
+            for r in token_budget_sample(
+                df, "grp", "doc_id", SF.col("toks"), budgets,
+                default_budget=20, n_buckets=n_buckets,
+            ).collect()
+        }
+        assert got == naive(20), f"n_buckets={n_buckets} diverged from naive"
+
+    kept = naive(20)
+    # minimal-prefix semantics on the budget-cut group
+    hot = sorted(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16), i, t)
+        for i, g, t in rows
+        if g == "hot" and i is not None
+    )
+    kept_hot = [(h, i, t) for h, i, t in hot if i in kept]
+    assert kept_hot == hot[: len(kept_hot)], "kept set is not a hash-order prefix"
+    total = sum(t for _, _, t in kept_hot)
+    assert total >= 300 and total - kept_hot[-1][2] < 300
+
+    # default budget 0 drops unlisted/NULL groups entirely
+    got0 = {
+        r.doc_id
+        for r in token_budget_sample(
+            df, "grp", "doc_id", SF.col("toks"), budgets
+        ).collect()
+    }
+    assert got0 == naive(0) and not any(2000 <= (d or 0) < 3000 for d in got0)
+
+    with _pytest.raises(ValueError, match="power of two"):
+        token_budget_sample(df, "grp", "doc_id", SF.col("toks"), budgets, n_buckets=3)
+    with _pytest.raises(ValueError, match="None is unreachable"):
+        token_budget_sample(df, "grp", "doc_id", SF.col("toks"), {None: 5})
+    with _pytest.raises(ValueError, match="budget for group"):
+        token_budget_sample(df, "grp", "doc_id", SF.col("toks"), {"hot": -1})
+    with _pytest.raises(ValueError, match="clash"):
+        token_budget_sample(
+            df.withColumn("__tbs_h", SF.lit(1)), "grp", "doc_id", SF.col("toks"), budgets
+        )
+
+
+def test_training_order_permutation_and_shard_stability(spark):
+    """training_order emits a permutation: every non-NULL id exactly once,
+    positions are 1..|shard| within each shard, two runs agree exactly, and
+    growing the corpus never moves an existing id to a different shard."""
+    import hashlib
+
+    from data_validator_guard_spark.operators.sampling import training_order
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)] + [(None,)], "doc_id long"
+    )
+    got = [(r.doc_id, r.shard, r.position) for r in training_order(df, "doc_id", 8).collect()]
+    assert sorted(i for i, _, _ in got) == list(range(500))
+    by_shard: dict = {}
+    for i, s, p in got:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        assert s == h % 8, f"shard of {i} is not hash-derived"
+        by_shard.setdefault(s, []).append((p, h, i))
+    for s, entries in by_shard.items():
+        entries.sort()
+        assert [p for p, _, _ in entries] == list(range(1, len(entries) + 1))
+        # position order == (hash, id) order
+        assert entries == sorted(entries, key=lambda e: (e[1], e[2]))
+    got2 = [(r.doc_id, r.shard, r.position) for r in training_order(df, "doc_id", 8).collect()]
+    assert sorted(got) == sorted(got2)
+
+
 def test_code_table_planted_defects_are_found(spark):
     """The portable code-shape derivation plants defects at known moduli;
     the suite's verdicts must (a) fail exactly the rules with planted
