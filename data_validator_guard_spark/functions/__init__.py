@@ -50,6 +50,68 @@ def content_sha256(c: Column | str) -> Column:
     return F.sha2(col.cast("string"), 256)
 
 
+def equi_width_bucket(c: Column, vmin: int, vmax: int, n_buckets: int) -> Column:
+    """Quantize an integer column into ``[0, n_buckets)`` equi-width cells
+    over the closed range [vmin, vmax]: ``floor((v - vmin) * n / (range+1))``.
+    Both engines evaluate this as floor of one IEEE division of exact
+    integers — bit-identical as long as ``range * n_buckets < 2^53`` (the
+    exact-double range; ample for any key/date range at n_buckets <= 2^20,
+    and validated below). Values outside [vmin, vmax] are clamped to the
+    edge cells so a stale min/max never produces an out-of-grid cell id."""
+    if vmax < vmin:
+        raise ValueError(f"vmax {vmax} < vmin {vmin}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if (vmax - vmin + 1) * n_buckets >= 2**53:
+        raise ValueError(
+            "range * n_buckets exceeds 2^53 — the floor-of-IEEE-division "
+            "quantizer is no longer exact; shrink n_buckets or pre-scale"
+        )
+    v = F.greatest(F.least(c.cast("bigint"), F.lit(vmax)), F.lit(vmin))
+    width = vmax - vmin + 1
+    return F.floor((v - F.lit(vmin)) * F.lit(n_buckets) / F.lit(width)).cast("bigint")
+
+
+def zorder_key(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton / Z-order key of two pre-quantized cell ids in [0, 2^bits):
+    interleave their bits (x on even positions, y on odd) so that sorting by
+    the single key places rows close in BOTH dimensions into the same
+    neighborhood — the multi-column extension of the sorted compaction
+    rewrite (``sources.compact_small_files(sort_col=...)``; Delta calls it
+    ``OPTIMIZE ZORDER BY``, Iceberg a multi-column sort order). A range
+    rewrite on the z-key buys per-file min/max footer bounds on BOTH
+    columns, so later predicates on either column prune whole files.
+
+    Pure shift/mask integer expression — whole-stage codegen in Spark and
+    bit-identical in any ANSI engine with shift operators; the oracle
+    replicates it verbatim. Inputs MUST already be in [0, 2^bits)
+    (:func:`equi_width_bucket` produces exactly that); out-of-range inputs
+    raise at runtime via an ANSI-safe guard column rather than silently
+    aliasing distant cells.
+    """
+    if not (1 <= bits <= 31):
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    lim = 1 << bits
+    xv, yv = x.cast("bigint"), y.cast("bigint")
+    # fail loud on out-of-grid cells: raise_error is ANSI-safe and constant-
+    # folds away when inputs provably fit (e.g. equi_width_bucket output)
+    guard_msg = f"zorder_key: cell id out of [0, {lim})"
+    xg = F.when((xv >= 0) & (xv < lim), xv).otherwise(
+        F.raise_error(F.lit(guard_msg)).cast("bigint")
+    )
+    yg = F.when((yv >= 0) & (yv < lim), yv).otherwise(
+        F.raise_error(F.lit(guard_msg)).cast("bigint")
+    )
+    z: Column = F.lit(0).cast("bigint")
+    for b in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(xg, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftrightunsigned(yg, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return z
+
+
 def salt(n_salts: int, *cols: Column | str) -> Column:
     """Deterministic salt in [0, n_salts) from xxhash64 of the key columns —
     used to defuse hot-key skew in two-phase aggregations (SURVEY.md §4.3)."""

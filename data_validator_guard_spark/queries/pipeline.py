@@ -514,3 +514,70 @@ def q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_validator_guard_spark.operators.stats import key_skew_profile
 
     return key_skew_profile(read_table(spark, sf_dir, "events"), "user_id")
+
+
+# =====================================================================
+# 30. Lakehouse layout: Z-order clustering key (functions.zorder_key) —
+#     the multi-column extension of compact_small_files' sorted rewrite.
+#     Quantize (o_custkey, o_orderdate-as-epoch-day) into a 2^8 x 2^8 grid
+#     over the observed min/max (4 literals, guarded driver pull — the
+#     drift-edges pattern), then bit-interleave. Sorting the rewrite by
+#     this one key bounds per-file min/max footers on BOTH columns, so
+#     predicates on either prune whole files. The oracle replicates the
+#     quantization and interleave bit for bit via scalar-subquery min/max.
+# =====================================================================
+def _zorder_interleave_sql(xe: str, ye: str, bits: int = 8) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xe} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({ye} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZORDER_ORACLE = f"""
+WITH bounds AS (
+  SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+         MIN(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS dmin,
+         MAX(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS dmax
+  FROM orders
+), g AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(CAST((o_custkey - cmin) * 256 AS DOUBLE)
+                    / (cmax - cmin + 1)) AS BIGINT) AS cx,
+         CAST(FLOOR(CAST((date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) - dmin) * 256 AS DOUBLE)
+                    / (dmax - dmin + 1)) AS BIGINT) AS cy
+  FROM orders, bounds
+)
+SELECT o_orderkey, CAST({_zorder_interleave_sql("cx", "cy")} AS BIGINT) AS zkey
+FROM g
+"""
+
+
+@query("zorder_assignment", oracle=_ZORDER_ORACLE)
+def q_zorder_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over orders: (o_custkey, epoch-day of
+    o_orderdate) quantized to a 256x256 equi-width grid over the observed
+    min/max, bits interleaved into one BIGINT sort key. Feed the key to
+    compact_small_files(sort_col=...) to get a rewrite whose files carry
+    tight min/max footers on BOTH columns."""
+    from data_validator_guard_spark.functions import equi_width_bucket, zorder_key
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "__eday"
+        ),
+    )
+    # guarded driver pull: exactly one 4-value row (the drift-edges pattern)
+    b = orders.agg(
+        F.min("o_custkey").alias("cmin"),
+        F.max("o_custkey").alias("cmax"),
+        F.min("__eday").alias("dmin"),
+        F.max("__eday").alias("dmax"),
+    ).collect()[0]
+    cx = equi_width_bucket(F.col("o_custkey"), int(b.cmin), int(b.cmax), 256)
+    cy = equi_width_bucket(F.col("__eday"), int(b.dmin), int(b.dmax), 256)
+    return orders.select(
+        "o_orderkey", zorder_key(cx, cy, bits=8).alias("zkey")
+    )

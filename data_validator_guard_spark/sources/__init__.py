@@ -365,9 +365,10 @@ def compact_small_files(
     instead uses ``repartitionByRange(target_files, sort_col)`` +
     ``sortWithinPartitions`` — that DOES pay one range shuffle, and buys
     min/max footer statistics so every later range predicate on
-    ``sort_col`` prunes whole files (the cheap cousin of Z-ordering; at
-    100 TB pruning beats the one-time shuffle after the first filtered
-    scan). Returns the plan dict with ``skipped`` False only if a rewrite
+    ``sort_col`` prunes whole files (at 100 TB pruning beats the one-time
+    shuffle after the first filtered scan). For multi-column pruning pass
+    ``functions.zorder_key`` output as ``sort_col`` — bit-aligned z-blocks
+    bound per-file min/max on BOTH interleaved columns. Returns the plan dict with ``skipped`` False only if a rewrite
     happened; a no-op plan writes nothing — idempotent daily-maintenance
     semantics, and never compacts INTO the source directory (the read is
     lazy; overwriting the input mid-scan would corrupt it).

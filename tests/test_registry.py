@@ -218,6 +218,124 @@ def test_compact_sorted_layout_prunes_files(spark, tmp_path):
         assert hi1 < lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, _hi2)}"
 
 
+def test_zorder_key_matches_reference_and_is_bijective(spark):
+    """zorder_key == the textbook Morton interleave (python reference) on a
+    full grid, is a bijection there, and the out-of-grid guard raises."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from data_validator_guard_spark.functions import equi_width_bucket, zorder_key
+
+    def ref_z(x, y, bits):
+        return sum(
+            (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))
+            for b in range(bits)
+        )
+
+    bits = 4
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in grid.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), bits=bits).alias("z")
+        ).collect()
+    }
+    assert got == {(x, y): ref_z(x, y, bits) for x in range(16) for y in range(16)}
+    assert len(set(got.values())) == 256  # bijection on the grid
+
+    # quantizer: clamps out-of-range, exact cells, validation guards
+    q = spark.createDataFrame([(-5,), (0,), (99,), (150,)], "v long").select(
+        equi_width_bucket(F.col("v"), 0, 99, 16).alias("c")
+    )
+    assert [r.c for r in q.collect()] == [0, 0, 15, 15]
+    with pytest.raises(ValueError, match="2\\^53"):
+        equi_width_bucket(F.col("v"), 0, 2**45, 2**20)
+
+    # out-of-grid z input raises at runtime instead of aliasing cells
+    bad = spark.createDataFrame([(20, 3)], "x long, y long")
+    with pytest.raises(Exception, match="out of \\[0, 16\\)"):
+        bad.select(zorder_key(F.col("x"), F.col("y"), bits=4)).collect()
+
+
+def test_zorder_compaction_bounds_both_dimensions(spark, tmp_path):
+    """The read-side payoff of z-ordering, in two layers. (a) Exact property:
+    a bit-aligned z-block (top-3 z bits, i.e. fixing y_hi, x_hi, y_mid)
+    bounds BOTH dimensions — x to ~half, y to ~quarter of the grid. (b) The
+    rewrite through compact_small_files uses sampled range boundaries, so a
+    straddling file can span one dimension — but the worst per-file y-range
+    must still be materially below the single-column x-sort control, whose
+    every file spans y fully."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_validator_guard_spark.functions import equi_width_bucket, zorder_key
+    from data_validator_guard_spark.sources import compact_small_files, plan_compaction
+
+    src = str(tmp_path / "grid_src")
+    n = 200
+    df = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+        )
+        .withColumn(
+            "zkey",
+            zorder_key(
+                equi_width_bucket(F.col("x"), 0, n - 1, 256),
+                equi_width_bucket(F.col("y"), 0, n - 1, 256),
+                bits=8,
+            ),
+        )
+    )
+
+    # (a) deterministic bit-aligned blocks: both dims bounded in EVERY block
+    blocks = (
+        df.groupBy(F.shiftrightunsigned(F.col("zkey"), 13).alias("blk"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("xr"),
+            (F.max("y") - F.min("y")).alias("yr"),
+        )
+        .collect()
+    )
+    assert len(blocks) == 8
+    assert all(r.xr <= 0.55 * n for r in blocks), [r.xr for r in blocks]
+    assert all(r.yr <= 0.30 * n for r in blocks), [r.yr for r in blocks]
+
+    # (b) rewrite comparison vs the x-sort control
+    df.repartition(16).write.parquet(src)
+    total = plan_compaction(spark, src, target_bytes=1 << 40)["total_bytes"]
+    target = max(1, total // 8)
+
+    def file_ranges(path, col):
+        out = []
+        for root, _d, fs in os.walk(path):
+            for f in fs:
+                if f.endswith(".parquet") and not f.startswith("."):
+                    r = spark.read.parquet(os.path.join(root, f)).agg(
+                        F.min(col), F.max(col)
+                    ).collect()[0]
+                    out.append(r[1] - r[0])
+        return out
+
+    z_out = str(tmp_path / "zsorted")
+    compact_small_files(spark, src, z_out, target_bytes=target, sort_col="zkey")
+    x_out = str(tmp_path / "xsorted")
+    compact_small_files(spark, src, x_out, target_bytes=target, sort_col="x")
+
+    zy = file_ranges(z_out, "y")
+    xy = file_ranges(x_out, "y")
+    assert len(zy) >= 4, f"expected a multi-file z layout, got {len(zy)}"
+    assert max(xy) >= 0.9 * n, "control broke: x-sort should leave y unbounded"
+    assert max(zy) * 1.5 <= max(xy), (
+        f"z-order did not improve worst-file y pruning: {max(zy)} vs {max(xy)}"
+    )
+
+
 def test_compact_refuses_source_as_destination(spark, tmp_path):
     """The lazy-read corruption guard: compacting INTO the source directory
     must fail loudly before any write starts."""
