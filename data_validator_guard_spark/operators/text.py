@@ -463,3 +463,27 @@ def remove_repeated_segments_within(
         ).alias("__cleaned"),
     )
     return _finish_segment_rebuild(df, rebuilt, text_col, id_col, sep)
+
+
+# Ordered license markers: copyleft checked FIRST so a dual-marked file
+# classifies conservatively (The Stack keeps permissive-only; a GPL notice
+# anywhere must win over an MIT header). Literal contains — no regex
+# engine differences across engines.
+LICENSE_MARKERS: list[tuple[str, str, bool]] = [
+    ("gpl", "GNU General Public License", False),
+    ("mit", "MIT License", True),
+    ("apache-2.0", "Apache License, Version 2.0", True),
+]
+
+
+def classify_license(content: Column) -> tuple[Column, Column]:
+    """``(license, is_permissive)`` columns from ordered first-match on
+    literal license markers. Unknown ⇒ NOT permissive (the conservative
+    curation default). Pure per-row expression — fuses into any scan."""
+    lic: Column = F.lit("unknown")
+    perm: Column = F.lit(False)
+    for name, marker, permissive in reversed(LICENSE_MARKERS):
+        hit = F.contains(content, F.lit(marker))
+        lic = F.when(hit, F.lit(name)).otherwise(lic)
+        perm = F.when(hit, F.lit(permissive)).otherwise(perm)
+    return lic, perm

@@ -249,3 +249,141 @@ def q_violations_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, violations = validate(code, suite)
     return violations
+
+
+# =====================================================================
+# Vendored-code detection (round 5): content hashes appearing in >= 2
+# repos — the cross-repo duplication miner every source-code curation
+# pipeline runs (vendored dependencies dominate naive per-file training
+# weight). The corpus has no natural exact duplicates, so the query
+# plants them deterministically in its own derivation (the dedup_semantic
+# pattern): every doc_id % 11 == 0 file's content becomes one of five
+# canonical "vendored blobs", spread across the kid-derived repos
+# (including the 30% hot repo). One md5-keyed hash aggregation — uniform
+# shuffle keys regardless of repo skew; count_distinct(repo) expands to
+# Spark's standard two-phase distinct aggregate.
+# =====================================================================
+_VENDORED_ORACLE = """
+WITH k AS (
+  SELECT CASE WHEN doc_id % 97 = 0 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END AS kid,
+         doc_id, text
+  FROM documents
+), v AS (
+  SELECT
+    CASE WHEN kid % 10 < 3 THEN 'org0/hot-repo'
+         ELSE 'org' || CAST(kid % 7 AS VARCHAR) || '/repo' || CAST(kid % 41 AS VARCHAR)
+    END AS repo,
+    CASE WHEN doc_id % 11 = 0
+         THEN 'VENDOR-BLOB-' || CAST(doc_id % 5 AS VARCHAR)
+         ELSE text END AS content
+  FROM k
+)
+SELECT md5(content) AS content_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(COUNT(DISTINCT repo) AS BIGINT) AS n_repos,
+       MIN(repo) AS first_repo,
+       MAX(repo) AS last_repo
+FROM v
+WHERE content IS NOT NULL
+GROUP BY content_hash
+HAVING COUNT(DISTINCT repo) >= 2
+"""
+
+
+@query("vendored_content", oracle=_VENDORED_ORACLE)
+def q_vendored_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-repo duplicated content (vendored-code miner) over the code
+    shape: md5(content) groups with files in >= 2 distinct repos, with
+    file/repo multiplicities and a first/last repo sample. Hash keys are
+    uniform, so the aggregation shuffle is skew-free even though 30% of
+    files live in one hot repo."""
+    d = read_table(spark, sf_dir, "documents")
+    kid = F.when(
+        (F.col("doc_id") % 97 == 0) & (F.col("doc_id") > 0), F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    repo = F.when(kid % 10 < 3, F.lit("org0/hot-repo")).otherwise(
+        F.concat(
+            F.lit("org"), (kid % 7).cast("string"),
+            F.lit("/repo"), (kid % 41).cast("string"),
+        )
+    )
+    content = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit("VENDOR-BLOB-"), (F.col("doc_id") % 5).cast("string")),
+    ).otherwise(F.col("text"))
+    v = d.select(repo.alias("repo"), content.alias("content")).filter(
+        F.col("content").isNotNull()
+    )
+    return (
+        v.groupBy(F.md5("content").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.count_distinct("repo").cast("bigint").alias("n_repos"),
+            F.min("repo").alias("first_repo"),
+            F.max("repo").alias("last_repo"),
+        )
+        .filter(F.col("n_repos") >= 2)
+    )
+
+
+# =====================================================================
+# License screen (round 5): The-Stack-style license gating over the code
+# shape. Headers are planted deterministically (doc_id % 13 buckets) so
+# the classifier has real positives; detection is ordered first-match on
+# literal marker strings (contains — no regex engine differences), GPL
+# checked before the permissive markers so dual-marked files classify
+# conservatively. Pure per-row expression: fuses into the scan, zero
+# shuffles; the ACT half is a trivial filter on is_permissive.
+# =====================================================================
+_LICENSE_ORACLE = """
+WITH v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN 'MIT License' || chr(10) || text
+              WHEN doc_id % 13 = 1 THEN 'Apache License, Version 2.0' || chr(10) || text
+              WHEN doc_id % 13 = 2 THEN 'GNU General Public License' || chr(10) || text
+              ELSE text END AS content
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+)
+SELECT doc_id,
+       CASE WHEN contains(content, 'GNU General Public License') THEN 'gpl'
+            WHEN contains(content, 'MIT License') THEN 'mit'
+            WHEN contains(content, 'Apache License, Version 2.0') THEN 'apache-2.0'
+            ELSE 'unknown' END AS license,
+       CASE WHEN contains(content, 'GNU General Public License') THEN FALSE
+            WHEN contains(content, 'MIT License') THEN TRUE
+            WHEN contains(content, 'Apache License, Version 2.0') THEN TRUE
+            ELSE FALSE END AS is_permissive
+FROM v
+"""
+
+
+@query("license_screen", oracle=_LICENSE_ORACLE)
+def q_license_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file license classification over the code shape: ordered
+    first-match on literal license markers (GPL before the permissive ones
+    — dual-marked files classify conservatively), emitting (doc_id,
+    license, is_permissive). A training-data curation job keeps
+    is_permissive; unknown defaults to NOT permissive (the conservative
+    Stack policy)."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    content = (
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.lit("MIT License\n"), F.col("text")))
+        .when(
+            F.col("doc_id") % 13 == 1,
+            F.concat(F.lit("Apache License, Version 2.0\n"), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 2,
+            F.concat(F.lit("GNU General Public License\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+    )
+    from data_validator_guard_spark.operators.text import classify_license
+
+    license_col, permissive = classify_license(content)
+    return d.select(
+        "doc_id", license_col.alias("license"), permissive.alias("is_permissive")
+    )

@@ -1125,6 +1125,38 @@ def test_token_budget_sample_exact_prefix_and_skew_parity(spark):
         )
 
 
+def test_classify_license_conservative_ordering(spark):
+    """Dual-marked content classifies as the copyleft license (GPL marker
+    wins over a permissive header regardless of position), permissive
+    markers classify permissive, unknown is NOT permissive."""
+    from pyspark.sql import functions as F
+
+    from data_validator_guard_spark.operators.text import classify_license
+
+    rows = [
+        ("both", "MIT License\n...\nGNU General Public License"),
+        ("both_rev", "GNU General Public License\n...\nMIT License"),
+        ("mit", "MIT License\ncode"),
+        ("apache", "Apache License, Version 2.0\ncode"),
+        ("none", "no license text here"),
+    ]
+    df = spark.createDataFrame(rows, "id string, content string")
+    lic, perm = classify_license(F.col("content"))
+    got = {
+        r.id: (r.license, r.is_permissive)
+        for r in df.select(
+            "id", lic.alias("license"), perm.alias("is_permissive")
+        ).collect()
+    }
+    assert got == {
+        "both": ("gpl", False),
+        "both_rev": ("gpl", False),
+        "mit": ("mit", True),
+        "apache": ("apache-2.0", True),
+        "none": ("unknown", False),
+    }
+
+
 def test_training_order_permutation_and_shard_stability(spark):
     """training_order emits a permutation: every non-NULL id exactly once,
     positions are 1..|shard| within each shard, two runs agree exactly, and
