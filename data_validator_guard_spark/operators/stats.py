@@ -446,3 +446,95 @@ def partition_outlier_report(
         F.when(F.col("n_val") > 0, mean_dev > mean_thr).alias("mean_outlier"),
         (null_dev > null_thr).alias("null_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: the mergeable approximate-FREQUENCY companion to the HLL
+# cardinality sketches above. A (depth x width) grid of counters; each key
+# increments one bucket per row of the grid (depth independent hashes); a
+# point estimate is the MIN over the key's depth buckets — never an
+# undercount, overcount bounded by collisions (~n_rows/width per row w.h.p.).
+# Merge = elementwise add, so per-partition sketches compose exactly like
+# partial_column_stats: validate each snapshot once, store d*w counters,
+# answer frequency queries over any union of partitions without rescanning.
+# Hashes are the house md5 kit (first 12 nibbles as BIGINT, seeded by the
+# grid row) — bit-identical in any engine, so estimates are oracle-exact.
+# ---------------------------------------------------------------------------
+CMS_HASH_SPACE = 16**12
+
+
+def _cms_bucket(key: Column, row_i: int, width: int) -> Column:
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"cms{row_i}:"), key.cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_partial(
+    df: DataFrame,
+    key: Column,
+    depth: int = 4,
+    width: int = 1024,
+    partition_by: str = "'__all__'",
+) -> DataFrame:
+    """Per-partition count-min sketch of ``key`` frequencies:
+    ``partition, row_i, bucket, n`` (≤ depth·width rows per partition —
+    counter-grid size, never data size). NULL keys carry no identity and
+    are excluded, mirroring every hash-keyed operator here. One explode
+    (depth small constant) + one hash aggregation; keys are md5-uniform,
+    so the shuffle is skew-free even over a hot key."""
+    if depth <= 0 or width <= 0:
+        raise ValueError(f"depth/width must be positive, got {depth}/{width}")
+    part = F.expr(partition_by).cast("string").alias("partition")
+    k = key.cast("string")
+    rows = df.filter(key.isNotNull()).select(
+        part,
+        F.posexplode(
+            F.array(*[_cms_bucket(k, i, width) for i in range(depth)])
+        ).alias("row_i", "bucket"),
+    )
+    return rows.groupBy("partition", "row_i", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def cms_merge(partials: DataFrame) -> DataFrame:
+    """Merge per-partition CMS grids into one: counters add elementwise.
+    The merged grid is bit-identical to a sketch built over the unioned
+    data — pinned by test — so stored per-snapshot sketches answer
+    frequency queries over any partition subset without rescanning."""
+    return partials.groupBy("row_i", "bucket").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    width: int,
+    depth: int | None = None,
+) -> DataFrame:
+    """Point-estimate each probe key against a merged CMS grid:
+    ``key_col, est`` where est = min over the grid rows of the key's bucket
+    counter (0 when a bucket is absent — the key was never seen). The grid
+    is counter-sized, so Spark broadcasts it; probe cost is one narrow
+    join, never a data scan. ``depth``/``width`` must match the build
+    (depth is inferred from the grid when omitted — one counter-sized
+    driver probe)."""
+    depth_rows = depth if depth is not None else sketch.select("row_i").distinct().count()
+    if depth_rows <= 0:
+        raise ValueError("empty CMS sketch — no grid rows to probe")
+    k = F.col(key_col)
+    pe = probes.filter(k.isNotNull()).select(
+        k,
+        F.posexplode(
+            F.array(*[_cms_bucket(k, i, width) for i in range(depth_rows)])
+        ).alias("row_i", "bucket"),
+    )
+    joined = pe.join(sketch, ["row_i", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("est")
+    )

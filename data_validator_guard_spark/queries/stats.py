@@ -327,3 +327,76 @@ def q_partition_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_outlier_report(
         docs, "source", "v", tol_permille=200, null_tol_permille=100
     )
+
+
+# =====================================================================
+# 31. Count-min sketch (round 5): mergeable approximate FREQUENCY — the
+#     companion to the HLL cardinality partials. Build per-half grids
+#     over events.user_id, merge (counters add — bit-identical to one
+#     full-data grid, which is exactly how the oracle computes it), then
+#     point-estimate every distinct user against the merged grid and pair
+#     with the exact count. Estimates are md5-arithmetic — oracle-exact;
+#     CMS never undercounts (est >= exact always, pinned by pytest).
+# =====================================================================
+def _cms_bucket_sql(seed: int, expr: str, width: int) -> str:
+    from data_validator_guard_spark.queries.sampling import _hex12_sql
+
+    h = "md5('cms" + str(seed) + ":' || " + expr + ")"
+    return f"({_hex12_sql(h)} % {width})"
+
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 1024
+
+_CMS_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events WHERE user_id IS NOT NULL
+), g AS (
+  SELECT row_i, bucket, COUNT(*) AS n FROM (
+    {" UNION ALL ".join(f"SELECT {i} AS row_i, {_cms_bucket_sql(i, 'k', _CMS_WIDTH)} AS bucket FROM e" for i in range(_CMS_DEPTH))}
+  ) GROUP BY row_i, bucket
+), probes AS (
+  SELECT DISTINCT k, user_id FROM e
+), pe AS (
+  {" UNION ALL ".join(f"SELECT user_id, {i} AS row_i, {_cms_bucket_sql(i, 'k', _CMS_WIDTH)} AS bucket FROM probes" for i in range(_CMS_DEPTH))}
+), est AS (
+  SELECT pe.user_id, MIN(COALESCE(g.n, 0)) AS est
+  FROM pe LEFT JOIN g USING (row_i, bucket) GROUP BY pe.user_id
+), exact AS (
+  SELECT user_id, COUNT(*) AS exact_n FROM e GROUP BY user_id
+)
+SELECT est.user_id, CAST(est AS BIGINT) AS est, CAST(exact_n AS BIGINT) AS exact_n
+FROM est JOIN exact USING (user_id)
+"""
+
+
+@query("cms_user_counts", oracle=_CMS_ORACLE)
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over events.user_id: per-half partial grids merged
+    (counters add — the merged grid equals a full-data build bit for bit),
+    every distinct user point-estimated against the merged grid, paired
+    with the exact count. The grid is depth x width counters — broadcast-
+    scale regardless of corpus size; the md5 bucket hashes are uniform, so
+    the build shuffle is skew-free even under a hot user."""
+    from data_validator_guard_spark.operators.stats import (
+        cms_estimate,
+        cms_merge,
+        cms_partial,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    partials = cms_partial(
+        ev,
+        F.col("user_id"),
+        depth=_CMS_DEPTH,
+        width=_CMS_WIDTH,
+        partition_by="CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END",
+    )
+    merged = cms_merge(partials)
+    probes = ev.filter(F.col("user_id").isNotNull()).select("user_id").distinct()
+    est = cms_estimate(merged, probes, "user_id", _CMS_WIDTH, depth=_CMS_DEPTH)
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    )
+    return est.join(exact, ["user_id"]).select("user_id", "est", "exact_n")

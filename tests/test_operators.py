@@ -1125,6 +1125,58 @@ def test_token_budget_sample_exact_prefix_and_skew_parity(spark):
         )
 
 
+def test_cms_merge_equals_full_build_and_never_undercounts(spark):
+    """Count-min invariants: (a) merging per-partition grids is
+    bit-identical to building one grid over the unioned data; (b) every
+    point estimate >= the exact count (CMS never undercounts), including a
+    70%-hot key; (c) an unseen probe key estimates 0 when any of its
+    buckets is empty-or-low (tiny width forces collisions, so assert only
+    the >= bound there); (d) NULL keys are excluded."""
+    from pyspark.sql import functions as F
+
+    from data_validator_guard_spark.operators.stats import (
+        cms_estimate,
+        cms_merge,
+        cms_partial,
+    )
+
+    rows = [(i, "hot" if i % 10 < 7 else f"k{i % 50}") for i in range(1000)]
+    rows.append((9999, None))
+    df = spark.createDataFrame(rows, "event_id long, k string")
+
+    partials = cms_partial(
+        df, F.col("k"), depth=4, width=64,
+        partition_by="CASE WHEN event_id % 3 = 0 THEN 'a' ELSE 'b' END",
+    )
+    merged = {(r.row_i, r.bucket): r.n for r in cms_merge(partials).collect()}
+    full = {
+        (r.row_i, r.bucket): r.n
+        for r in cms_partial(df, F.col("k"), depth=4, width=64).collect()
+    }
+    assert merged == full, "merged grid != full-data grid"
+    assert sum(n for (ri, _), n in full.items() if ri == 0) == 1000  # NULL excluded
+
+    exact = {
+        r.k: r.n
+        for r in df.filter(F.col("k").isNotNull())
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    probes = df.select("k").distinct().filter(F.col("k").isNotNull())
+    merged_df = cms_merge(partials)
+    est = {
+        r.k: r.est
+        for r in cms_estimate(merged_df, probes, "k", width=64, depth=4).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact), "CMS undercounted a key"
+    assert est["hot"] >= 700
+
+    # unseen key: never negative, and bounded by the collision mass
+    unseen = spark.createDataFrame([("never-seen",)], "k string")
+    u = cms_estimate(merged_df, unseen, "k", width=64, depth=4).collect()[0]
+    assert 0 <= u.est <= 1000
+
+
 def test_classify_license_conservative_ordering(spark):
     """Dual-marked content classifies as the copyleft license (GPL marker
     wins over a permissive header regardless of position), permissive
