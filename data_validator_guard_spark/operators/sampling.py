@@ -245,7 +245,11 @@ def token_budget_sample(
     NULL ids are never sampled (no hash identity — the house contract);
     NULL-group rows form their own group at ``default_budget`` (the join is
     null-safe). Token counts are coalesced to 0 (a NULL-text document costs
-    nothing against the budget but still occupies its hash slot).
+    nothing against the budget but still occupies its hash slot). Ids must
+    be UNIQUE: duplicate ids tie in the (hash, id) priority order, so which
+    copy the budget boundary cuts is engine-order-dependent — run exact
+    dedup first (the corpus-key contract every hash-keyed operator here
+    carries).
     """
     if not (1 <= n_buckets <= 2**20) or (n_buckets & (n_buckets - 1)) != 0:
         raise ValueError(f"n_buckets must be a power of two in [1, 2^20], got {n_buckets}")
@@ -325,8 +329,10 @@ def training_order(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
     (operators/packing.py). Growth behavior: adding documents never changes
     an existing document's shard (pure hash) but does renumber positions
     after the insertion point within that shard — positions are an ordering,
-    not an identity. NULL ids carry no hash identity and are excluded (house
-    contract, same as every hash-keyed sampler here).
+    not an identity. NULL ids carry no hash identity and are excluded, and
+    ids must be unique — duplicate ids tie in the (hash, id) rank, making
+    their relative positions engine-order-dependent (house contract, same
+    as every hash-keyed sampler here).
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")

@@ -1038,3 +1038,61 @@ def q_violations_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, violations = validate(docs, suite, violation_sample_ppm=_VIOLATION_SAMPLE_PPM)
     return violations
+
+
+# =====================================================================
+# Schema-contract check (round 5): the "schema" half of the north rule's
+# schema + constraint engine, verdict-shaped, metadata-only (zero data
+# scan — the Spark side never launches a job; the oracle reads DuckDB's
+# information_schema). The spec plants one type mismatch (n_chars
+# expected double, actually bigint), one missing column (checksum), and
+# omits `source` so it reports unexpected.
+# =====================================================================
+_SCHEMA_SPEC = {
+    "doc_id": "bigint",
+    "text": "string",
+    "lang": "string",
+    "n_chars": "double",
+    "checksum": "string",
+}
+
+_SCHEMA_CONTRACT_ORACLE = """
+WITH actual AS (
+  SELECT column_name AS col_name,
+         CASE data_type
+           WHEN 'BIGINT' THEN 'bigint'
+           WHEN 'VARCHAR' THEN 'string'
+           WHEN 'DOUBLE' THEN 'double'
+           WHEN 'TIMESTAMP' THEN 'timestamp'
+           WHEN 'BOOLEAN' THEN 'boolean'
+           WHEN 'DATE' THEN 'date'
+           WHEN 'BLOB' THEN 'binary'
+           ELSE lower(data_type) END AS actual_type
+  FROM information_schema.columns WHERE table_name = 'documents'
+), expected AS (
+  SELECT * FROM (VALUES
+    ('doc_id', 'bigint'), ('text', 'string'), ('lang', 'string'),
+    ('n_chars', 'double'), ('checksum', 'string')
+  ) AS t(col_name, expected_type)
+)
+SELECT COALESCE(e.col_name, a.col_name) AS col_name,
+       CASE WHEN a.col_name IS NULL THEN 'missing'
+            WHEN e.col_name IS NULL THEN 'unexpected'
+            WHEN e.expected_type = a.actual_type THEN 'ok'
+            ELSE 'type_mismatch' END AS status,
+       e.expected_type,
+       a.actual_type
+FROM expected e FULL OUTER JOIN actual a ON e.col_name = a.col_name
+"""
+
+
+@query("schema_contract_documents", oracle=_SCHEMA_CONTRACT_ORACLE)
+def q_schema_contract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract verdicts for the documents table against a spec with
+    a planted type mismatch, a planted missing column, and an omitted
+    actual column — ok / type_mismatch / missing / unexpected, computed
+    from driver-side metadata only (no executor work at any corpus size)."""
+    from data_validator_guard_spark.operators.schema import schema_contract
+
+    docs = read_table(spark, sf_dir, "documents")
+    return schema_contract(spark, docs, _SCHEMA_SPEC)

@@ -1125,6 +1125,45 @@ def test_token_budget_sample_exact_prefix_and_skew_parity(spark):
         )
 
 
+def test_schema_contract_statuses_and_zero_jobs(spark):
+    """All four verdict statuses from one spec; complex types compare by
+    simpleString; the check is pure driver metadata (works on a DataFrame
+    whose evaluation would throw — proof no job runs)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_validator_guard_spark.operators.schema import schema_contract
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, [0.1])], "id long, name string, score double, emb array<double>"
+    )
+    got = {
+        r.col_name: (r.status, r.expected_type, r.actual_type)
+        for r in schema_contract(
+            spark,
+            df,
+            {"id": "bigint", "name": "INT ", "gone": "string", "emb": "array<double>"},
+        ).collect()
+    }
+    assert got == {
+        "id": ("ok", "bigint", "bigint"),
+        "name": ("type_mismatch", "int", "string"),
+        "gone": ("missing", "string", None),
+        "emb": ("ok", "array<double>", "array<double>"),
+        "score": ("unexpected", None, "double"),
+    }
+
+    # metadata-only: a frame that would fail at execution still checks fine
+    poisoned = df.select(F.raise_error(F.lit("never run")).cast("string").alias("id"))
+    rows = schema_contract(spark, poisoned, {"id": "string"}).collect()
+    assert [(r.col_name, r.status) for r in rows] == [("id", "ok")]
+
+    with pytest.raises(ValueError, match="empty"):
+        schema_contract(spark, df, {})
+    with pytest.raises(ValueError, match="non-empty string"):
+        schema_contract(spark, df, {"id": ""})
+
+
 def test_cms_merge_equals_full_build_and_never_undercounts(spark):
     """Count-min invariants: (a) merging per-partition grids is
     bit-identical to building one grid over the unioned data; (b) every
