@@ -47,6 +47,13 @@ def schema_contract(
         if not isinstance(typ, str) or not typ.strip():
             raise ValueError(f"expected type for {col!r} must be a non-empty string")
         norm[col] = typ.strip().lower()
+    names = [f.name for f in df.schema.fields]
+    if len(names) != len(set(names)):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"df has duplicate column names {dupes} (post-join ambiguity) — "
+            "a dict-shaped contract cannot describe it; rename first"
+        )
     actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     rows: list[tuple[str, str, str | None, str | None]] = []
     for col, want in norm.items():

@@ -1162,6 +1162,9 @@ def test_schema_contract_statuses_and_zero_jobs(spark):
         schema_contract(spark, df, {})
     with pytest.raises(ValueError, match="non-empty string"):
         schema_contract(spark, df, {"id": ""})
+    dup = df.select(F.col("id"), F.col("name").alias("id"))
+    with pytest.raises(ValueError, match="duplicate column names"):
+        schema_contract(spark, dup, {"id": "bigint"})
 
 
 def test_cms_merge_equals_full_build_and_never_undercounts(spark):
