@@ -487,3 +487,100 @@ def classify_license(content: Column) -> tuple[Column, Column]:
         lic = F.when(hit, F.lit(name)).otherwise(lic)
         perm = F.when(hit, F.lit(permissive)).otherwise(perm)
     return lic, perm
+
+
+# Structured-credential patterns (the detect-secrets screen The Stack ran
+# before publishing source code; Kocetkov et al. 2022 §4). Fixed-width
+# token classes with no backtracking — identical under Java regex and RE2,
+# so counts are oracle-exact. Like pii_scan, this finds the structured
+# majority; a production scrubber layers entropy/NER detectors on top.
+SECRET_PATTERNS = {
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    "github_pat": r"ghp_[A-Za-z0-9]{36}",
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+}
+
+
+def secret_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document credential-pattern counts: ``id, n_aws_key,
+    n_github_pat, n_private_key, has_secret`` — the publish-gate every
+    source-code corpus runs (committed cloud keys / tokens / private keys
+    must never reach a training set). Entirely expression-level
+    (``regexp_count``, JVM-side, zero shuffles); non-overlapping
+    left-to-right counting is identical across engines."""
+    t = F.col(text_col)
+    counts = {k: F.regexp_count(t, F.lit(p)) for k, p in SECRET_PATTERNS.items()}
+    has = None
+    for c in counts.values():
+        has = (c > 0) if has is None else (has | (c > 0))
+    return df.select(
+        F.col(id_col),
+        *[counts[k].cast("bigint").alias(f"n_{k}") for k in SECRET_PATTERNS],
+        has.alias("has_secret"),
+    )
+
+
+# Auto-generated / vendored-output markers (literal contains — no regex).
+# "DO NOT EDIT" and "Code generated by" are the Go/protobuf conventions;
+# "@generated" is the Meta/thrift convention. Generated files are near-
+# worthless as training signal and dominate line counts if kept.
+GENERATED_MARKERS = ("DO NOT EDIT", "Code generated by", "@generated")
+
+
+def code_file_screen(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_line_len: int = 1000,
+    max_avg_line_len: float = 120.0,
+    min_alnum_frac: float = 0.25,
+) -> DataFrame:
+    """The Stack / StarCoder per-file quality screen over raw source text:
+    ``id, n_lines, max_line_len, avg_line_len, alnum_frac,
+    comment_line_frac, is_generated, keep``.
+
+    Filters (Kocetkov et al. 2022 §4; Li et al. 2023 appendix A): drop
+    files with a generated-code marker, any line longer than
+    ``max_line_len`` (minified/packed output), mean line length above
+    ``max_avg_line_len``, or alphanumeric fraction below
+    ``min_alnum_frac`` (binary-ish blobs). ``comment_line_frac`` is
+    reported but not gated (corpus-dependent policy).
+
+    Everything is one narrow whole-stage-codegen projection — higher-order
+    array expressions (``transform``/``filter`` over the line split), no
+    Python, no shuffle; at 100 TB this fuses into the scan alongside any
+    other per-row screen. Determinism: integer counts and two IEEE
+    divisions of exact integers — bit-identical across engines. Empty
+    content yields ``alnum_frac = 0.0`` and fails the keep gate (a
+    zero-byte file carries no signal)."""
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines).cast("bigint")
+    max_line = F.array_max(F.transform(lines, lambda l: F.length(l))).cast("bigint")
+    n_comment = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^(//|#|/\*)"))
+    ).cast("bigint")
+    total_len = F.length(t)
+    alnum_len = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+    alnum_frac = F.when(total_len > 0, alnum_len / total_len).otherwise(F.lit(0.0))
+    avg_line = total_len / n_lines
+    gen = None
+    for m in GENERATED_MARKERS:
+        hit = F.contains(t, F.lit(m))
+        gen = hit if gen is None else (gen | hit)
+    keep = (
+        (~gen)
+        & (max_line <= F.lit(max_line_len))
+        & (avg_line <= F.lit(max_avg_line_len))
+        & (alnum_frac >= F.lit(min_alnum_frac))
+    )
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        max_line.alias("max_line_len"),
+        avg_line.cast("double").alias("avg_line_len"),
+        alnum_frac.cast("double").alias("alnum_frac"),
+        (n_comment / n_lines).cast("double").alias("comment_line_frac"),
+        gen.alias("is_generated"),
+        keep.alias("keep"),
+    )
