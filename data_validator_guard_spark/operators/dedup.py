@@ -777,3 +777,202 @@ def apply_survivorship(
         .select(F.col("__w.__sid").alias(id_col))
     )
     return df.join(ranked, [id_col], "left_semi")
+
+
+def repo_containment(
+    df: DataFrame,
+    repo_col: str,
+    content_col: str,
+    max_repos_per_hash: int = 20,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Fork/mirror detection: repo pairs ranked by file-level containment —
+    ``repo_a, repo_b, n_shared, n_files_a, n_files_b, containment``
+    (``repo_a < repo_b``; containment = shared distinct content hashes /
+    the smaller repo's distinct hash count).
+
+    The repo-LEVEL dedup every source-code corpus needs (the reference's
+    duplicate detection is row-level; GitHub-scale corpora additionally
+    carry whole-repo forks and mirrors that file-level exact dedup sees
+    only as millions of unrelated pairs). Kocetkov et al. 2022 deduplicate
+    The Stack per-file but weight by repo provenance for exactly this
+    reason.
+
+    Scale shape:
+    - one distinct over (content_hash, repo) — md5 keys, uniform shuffle;
+    - a window count per hash DROPS hashes in more than
+      ``max_repos_per_hash`` repos BEFORE the pair join: ubiquitous
+      content (vendored deps, license boilerplate, empty __init__.py) is
+      not fork evidence, and it is precisely what makes the naive
+      pair-generation quadratic. With the cap, one hash contributes at
+      most cap²/2 pairs, so candidate work is proportional to genuinely
+      co-occurring content, never |corpus|²;
+    - self-equi-join on content_hash (repo_a < repo_b) → groupBy pair —
+      pair keys are uniform (two repo names);
+    - per-repo distinct-hash sizes joined back (repo-keyed broadcast-scale
+      relative to the pair table).
+
+    Determinism: exact BIGINT counts; containment is one IEEE division of
+    exact integers — bit-identical across engines.
+    """
+    fh = (
+        df.filter(F.col(content_col).isNotNull())
+        .select(
+            F.col(repo_col).alias("repo"),
+            F.md5(F.col(content_col)).alias("content_hash"),
+        )
+        .distinct()
+    )
+    return _containment_pairs(
+        fh, "repo", "content_hash",
+        key_names=("repo_a", "repo_b"),
+        count_names=("n_shared", "n_files_a", "n_files_b"),
+        sim_name="containment",
+        max_keys_per_hash=max_repos_per_hash,
+        min_shared=min_shared,
+    )
+
+
+def _containment_pairs(
+    kh: DataFrame,
+    key_col: str,
+    hash_col: str,
+    key_names: tuple[str, str],
+    count_names: tuple[str, str, str],
+    sim_name: str,
+    max_keys_per_hash: int,
+    min_shared: int,
+) -> DataFrame:
+    """Shared pair-mining core over a DISTINCT (key, hash) frame: drop
+    hashes held by more than ``max_keys_per_hash`` keys (ubiquitous tokens
+    are not similarity evidence and are what makes pair generation
+    quadratic), self-join on hash (key_a < key_b), count shared hashes per
+    pair, and normalize by the smaller key's distinct-hash count. Used by
+    ``repo_containment`` (keys = repos, hashes = file contents) and
+    ``code_clone_pairs`` (keys = docs, hashes = winnowing fingerprints)."""
+    from pyspark.sql.window import Window
+
+    ka, kb = key_names
+    n_shared_name, n_a_name, n_b_name = count_names
+    n_keys = F.count(F.lit(1)).over(Window.partitionBy(hash_col))
+    shared = kh.withColumn("__n_keys", n_keys).filter(
+        (F.col("__n_keys") >= 2) & (F.col("__n_keys") <= max_keys_per_hash)
+    )
+    a = shared.select(F.col(hash_col), F.col(key_col).alias(ka))
+    b = shared.select(F.col(hash_col), F.col(key_col).alias(kb))
+    pairs = (
+        a.join(b, hash_col)
+        .filter(F.col(ka) < F.col(kb))
+        .groupBy(ka, kb)
+        .agg(F.count(F.lit(1)).cast("bigint").alias(n_shared_name))
+        .filter(F.col(n_shared_name) >= min_shared)
+    )
+    sizes = kh.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed(key_col, ka), ka)
+        .withColumnRenamed("__n", n_a_name)
+        .join(sizes.withColumnRenamed(key_col, kb), kb)
+        .withColumnRenamed("__n", n_b_name)
+        .select(
+            ka,
+            kb,
+            n_shared_name,
+            n_a_name,
+            n_b_name,
+            (
+                F.col(n_shared_name)
+                / F.least(F.col(n_a_name), F.col(n_b_name))
+            ).cast("double").alias(sim_name),
+        )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS local fingerprinting algorithm): ``id, fingerprint`` rows,
+    one per distinct selected k-gram hash.
+
+    Pipeline, entirely expression-level (one whole-stage-codegen
+    projection + one explode — no Python, no shuffle):
+    1. normalize: lowercase, strip ALL whitespace (clone detection must
+       survive reformatting — the normalization MOSS applies);
+    2. k-gram hashes: md5 hex of every k-char substring (lexicographic
+       MIN over md5 hex strings is this repo's engine-portable minhash
+       convention — no integer conversion needed);
+    3. windows of ``w`` consecutive gram hashes; select each window's
+       minimum (any shared substring of length >= k + w - 1 is guaranteed
+       to produce at least one shared fingerprint — the winnowing
+       guarantee);
+    4. distinct selected hashes per document.
+
+    Documents shorter than ``k`` after normalization emit no fingerprints
+    (no k-gram exists — documented, not an error). When there are grams
+    but fewer than ``w`` of them, the single window covers them all.
+    Fingerprint density is ~2/(w+1) of gram count, so the emitted table is
+    a small multiple of the corpus row count — the downstream shuffle key
+    (the fingerprint) is md5-uniform.
+    """
+    s = F.lower(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    n_grams = F.length(s) - F.lit(k) + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(s.substr(i, F.lit(k))),
+    )
+    n_windows = F.greatest(n_grams - F.lit(w) + 1, F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        )
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .filter(n_grams >= 1)
+        .select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+    )
+
+
+def code_clone_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    w: int = 4,
+    max_docs_per_fingerprint: int = 50,
+    min_shared: int = 2,
+    min_similarity: float = 0.5,
+) -> DataFrame:
+    """MOSS-style code clone mining: document pairs whose winnowing
+    fingerprint sets overlap — ``id_a, id_b, n_shared, n_fp_a, n_fp_b,
+    similarity`` with similarity = shared fingerprints / the smaller
+    fingerprint set (containment, robust to size mismatch between a
+    fragment and the file it was pasted into).
+
+    The fingerprint table is the only corpus-sized structure; pair work is
+    proportional to fingerprint collisions, never |corpus|², because
+    ubiquitous fingerprints (> ``max_docs_per_fingerprint`` documents —
+    shared boilerplate idioms) are dropped BEFORE the self-join, exactly
+    like ``repo_containment``'s hot-hash cap. The winnowing guarantee
+    makes recall structural: any shared normalized substring of
+    ``k + w - 1`` chars or more yields a shared fingerprint.
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w).select(
+        F.col(id_col).alias("__doc"), "fingerprint"
+    )
+    out = _containment_pairs(
+        fp, "__doc", "fingerprint",
+        key_names=("id_a", "id_b"),
+        count_names=("n_shared", "n_fp_a", "n_fp_b"),
+        sim_name="similarity",
+        max_keys_per_hash=max_docs_per_fingerprint,
+        min_shared=min_shared,
+    )
+    return out.filter(F.col("similarity") >= min_similarity)

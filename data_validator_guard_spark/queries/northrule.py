@@ -679,3 +679,172 @@ def q_repo_screen_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         one_if(F.col("keep")).alias("n_keep"),
         (one_if(F.col("keep")) / F.count(F.lit(1))).cast("double").alias("keep_rate"),
     )
+
+
+# =====================================================================
+# Fork/mirror detection (round 5): repo-pair containment over content
+# hashes — the repo-LEVEL dedup GitHub-scale corpora need on top of
+# file-level exact dedup (whole-repo forks otherwise surface only as
+# millions of unrelated file pairs). A fork is planted deterministically:
+# 80% of the hot repo's files (doc_id % 5 != 0) are mirrored into
+# 'org0/hot-repo-fork', so the pair (hot-repo, hot-repo-fork) appears
+# with containment ~0.8; a planted ubiquitous boilerplate blob
+# (doc_id % 11 == 0) exercises the max-repos-per-hash cap that keeps
+# pair generation linear in genuinely co-occurring content. The oracle
+# mirrors the cap and the min-shared gate exactly.
+# =====================================================================
+_FORK_ORACLE = """
+WITH k AS (
+  SELECT CASE WHEN doc_id % 97 = 0 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END AS kid,
+         doc_id, text
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), base AS (
+  SELECT doc_id,
+    CASE WHEN kid % 10 < 3 THEN 'org0/hot-repo'
+         ELSE 'org' || CAST(kid % 7 AS VARCHAR) || '/repo' || CAST(kid % 41 AS VARCHAR)
+    END AS repo,
+    CASE WHEN doc_id % 11 = 0 THEN 'SHARED-BOILERPLATE' ELSE text END AS content
+  FROM k
+), u AS (
+  SELECT repo, content FROM base
+  UNION ALL
+  SELECT 'org0/hot-repo-fork' AS repo, content FROM base
+  WHERE repo = 'org0/hot-repo' AND doc_id % 5 <> 0
+), fh AS (
+  SELECT DISTINCT repo, md5(content) AS content_hash FROM u
+), sh AS (
+  SELECT repo, content_hash,
+         COUNT(*) OVER (PARTITION BY content_hash) AS n_repos
+  FROM fh
+), pairs AS (
+  SELECT a.repo_a, b.repo_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM (SELECT content_hash, repo AS repo_a FROM sh WHERE n_repos BETWEEN 2 AND 20) a
+  JOIN (SELECT content_hash, repo AS repo_b FROM sh WHERE n_repos BETWEEN 2 AND 20) b
+    ON a.content_hash = b.content_hash AND a.repo_a < b.repo_b
+  GROUP BY a.repo_a, b.repo_b
+  HAVING COUNT(*) >= 2
+), sizes AS (
+  SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_files FROM fh GROUP BY repo
+)
+SELECT p.repo_a, p.repo_b, p.n_shared,
+       sa.n_files AS n_files_a, sb.n_files AS n_files_b,
+       CAST(p.n_shared AS DOUBLE) / least(sa.n_files, sb.n_files) AS containment
+FROM pairs p
+JOIN sizes sa ON sa.repo = p.repo_a
+JOIN sizes sb ON sb.repo = p.repo_b
+"""
+
+
+@query("fork_detection", oracle=_FORK_ORACLE)
+def q_fork_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-pair containment (fork/mirror miner) over the code shape:
+    pairs of repos ranked by shared distinct content hashes over the
+    smaller repo's hash count. Ubiquitous hashes (> 20 repos) are dropped
+    BEFORE pair generation — boilerplate is not fork evidence and is what
+    makes naive pair mining quadratic; pairs must share >= 2 files."""
+    from data_validator_guard_spark.operators.dedup import repo_containment
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    kid = F.when(
+        (F.col("doc_id") % 97 == 0) & (F.col("doc_id") > 0), F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    repo = F.when(kid % 10 < 3, F.lit("org0/hot-repo")).otherwise(
+        F.concat(
+            F.lit("org"), (kid % 7).cast("string"),
+            F.lit("/repo"), (kid % 41).cast("string"),
+        )
+    )
+    content = F.when(
+        F.col("doc_id") % 11 == 0, F.lit("SHARED-BOILERPLATE")
+    ).otherwise(F.col("text"))
+    base = d.select(
+        F.col("doc_id"), repo.alias("repo"), content.alias("content")
+    )
+    fork = base.filter(
+        (F.col("repo") == "org0/hot-repo") & (F.col("doc_id") % 5 != 0)
+    ).select(F.lit("org0/hot-repo-fork").alias("repo"), "content")
+    u = base.select("repo", "content").union(fork)
+    return repo_containment(u, "repo", "content", max_repos_per_hash=20, min_shared=2)
+
+
+# =====================================================================
+# Winnowing code-clone mining (round 5): MOSS local fingerprinting
+# (Schleimer, Wilkerson & Aiken 2003) over the code shape. Clones are
+# planted by mirroring every doc_id % 31 == 1 file into a new id with a
+# small prefix edit — winnowing's guarantee (any shared normalized
+# substring of k+w-1 chars yields a shared fingerprint) makes the pair
+# structural, not probabilistic. Lexicographic MIN over md5 hex strings
+# is the engine-portable selection (the repo's minhash convention), so
+# the oracle replays the whole pipeline bit for bit in DuckDB list
+# expressions. Ubiquitous fingerprints (> 50 docs) are dropped before
+# the pair join; pairs need >= 2 shared fingerprints and containment
+# similarity >= 0.5.
+# =====================================================================
+_CLONE_ORACLE = """
+WITH v AS (
+  SELECT doc_id AS id, text AS content FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, 'COPIED HEADER ' || text AS content
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 31 = 1
+), n AS (
+  SELECT id, lower(regexp_replace(content, '\\s+', '', 'g')) AS s FROM v
+), g AS (
+  SELECT id,
+    list_transform(range(1, length(s) - 8 + 2),
+                   i -> md5(substr(s, CAST(i AS INT), 8))) AS grams
+  FROM n WHERE length(s) >= 8
+), f AS (
+  SELECT id,
+    list_distinct(list_transform(
+      range(1, greatest(len(grams) - 4 + 1, 1) + 1),
+      j -> list_min(list_slice(grams, CAST(j AS INT), CAST(j AS INT) + 3)))) AS fps
+  FROM g
+), e AS (
+  SELECT id, unnest(fps) AS fp FROM f
+), sh AS (
+  SELECT id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_docs FROM e
+), pairs AS (
+  SELECT a.id_a, b.id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM (SELECT fp, id AS id_a FROM sh WHERE n_docs BETWEEN 2 AND 50) a
+  JOIN (SELECT fp, id AS id_b FROM sh WHERE n_docs BETWEEN 2 AND 50) b
+    ON a.fp = b.fp AND a.id_a < b.id_b
+  GROUP BY a.id_a, b.id_b
+  HAVING COUNT(*) >= 2
+), sizes AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM e GROUP BY id
+)
+SELECT p.id_a, p.id_b, p.n_shared,
+       sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+       CAST(p.n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) AS similarity
+FROM pairs p
+JOIN sizes sa ON sa.id = p.id_a
+JOIN sizes sb ON sb.id = p.id_b
+WHERE CAST(p.n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) >= 0.5
+"""
+
+
+@query("code_clone_pairs", oracle=_CLONE_ORACLE)
+def q_code_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing clone pairs over the code shape: document pairs
+    sharing >= 2 selected k-gram fingerprints at containment >= 0.5,
+    mined via one fingerprint explode + hot-fingerprint-capped self-join
+    — pair work proportional to collisions, never |corpus|²."""
+    from data_validator_guard_spark.operators.dedup import code_clone_pairs
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    base = d.select(F.col("doc_id").alias("id"), F.col("text").alias("content"))
+    clones = d.filter(F.col("doc_id") % 31 == 1).select(
+        (F.col("doc_id") + 1000000).alias("id"),
+        F.concat(F.lit("COPIED HEADER "), F.col("text")).alias("content"),
+    )
+    return code_clone_pairs(
+        base.union(clones), "content", "id",
+        k=8, w=4, max_docs_per_fingerprint=50, min_shared=2, min_similarity=0.5,
+    )

@@ -2321,3 +2321,100 @@ def test_code_file_screen_threshold_boundaries(spark):
     r = {row["id"]: row for row in code_file_screen(df, "text", "id").collect()}
     assert r[1]["max_line_len"] == 1000 and r[1]["keep"]
     assert r[2]["avg_line_len"] == 120.0 and r[2]["keep"]
+
+
+def test_repo_containment_fork_cap_and_math(spark):
+    from data_validator_guard_spark.operators.dedup import repo_containment
+
+    rows = [
+        # repo A: 4 distinct contents, one duplicated within-repo (counted once)
+        ("A", "c1"), ("A", "c1"), ("A", "c2"), ("A", "c3"), ("A", "c4"),
+        # repo B shares 3 of A's 4 -> containment 3/min(4,3) = 1.0
+        ("B", "c1"), ("B", "c2"), ("B", "c3"),
+        # repo C shares only 1 with A -> below min_shared=2, excluded
+        ("C", "c1"), ("C", "c9"),
+        # NULL content ignored
+        ("A", None),
+    ]
+    # ubiquitous blob in 25 repos: above the 20-repo cap, contributes no pairs
+    rows += [(f"R{i}", "boilerplate") for i in range(25)]
+    df = spark.createDataFrame(rows, "repo string, content string")
+    got = repo_containment(
+        df, "repo", "content", max_repos_per_hash=20, min_shared=2
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["repo_a"], r["repo_b"]) == ("A", "B")
+    assert (r["n_shared"], r["n_files_a"], r["n_files_b"]) == (3, 4, 3)
+    assert r["containment"] == 1.0
+    # with the cap lifted, the boilerplate hash explodes into R-R pairs,
+    # but each shares only ONE hash -> still gated out by min_shared=2
+    lifted = repo_containment(
+        df, "repo", "content", max_repos_per_hash=10**6, min_shared=2
+    ).collect()
+    assert {(r["repo_a"], r["repo_b"]) for r in lifted} == {("A", "B")}
+    # min_shared=1 with the cap lifted surfaces them (sanity that the cap
+    # -- not an accident of the data -- is what bounded the pair set above)
+    n_pairs = repo_containment(
+        df, "repo", "content", max_repos_per_hash=10**6, min_shared=1
+    ).count()
+    assert n_pairs > 300  # C(25,2) boilerplate pairs + A/B/C combinations
+
+
+def test_winnow_fingerprints_guarantee_and_edges(spark):
+    from data_validator_guard_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 8, 4
+    shared = "def common_helper(x): return x + 1"  # >> k + w - 1 chars
+    rows = [
+        (1, f"# header one\n{shared}\n# trailer"),
+        # reformatted copy: winnowing must still share a fingerprint
+        (2, f"PREFIX  {shared.upper()}  \n\n  SUFFIX"),
+        (3, "totally unrelated body of text here"),
+        (4, "short"),   # < k after normalization: no grams, no rows
+        (5, None),      # NULL text: dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    fp = winnow_fingerprints(df, "text", "id", k=k, w=w).collect()
+    by_id = {}
+    for r in fp:
+        by_id.setdefault(r["id"], set()).add(r["fingerprint"])
+    # the winnowing guarantee: a shared normalized substring of length
+    # >= k + w - 1 yields at least one shared fingerprint
+    assert by_id[1] & by_id[2]
+    assert 4 not in by_id and 5 not in by_id
+    # fingerprints are distinct per doc (explode of array_distinct)
+    assert len(fp) == sum(len(s) for s in by_id.values())
+    # sub-window doc: grams exist but fewer than w -> single window, 1 fp
+    tiny = spark.createDataFrame([(9, "abcdefghij")], "id long, text string")
+    got = winnow_fingerprints(tiny, "text", "id", k=8, w=4).collect()
+    assert len(got) == 1
+
+
+def test_code_clone_pairs_gates(spark):
+    from data_validator_guard_spark.operators.dedup import code_clone_pairs
+
+    body = "for i in range(100): total += values[i] * weights[i]"
+    rows = [
+        (1, body),
+        (2, "# copied\n" + body),            # near-identical clone of 1
+        (3, "completely different content with no overlap at all xyz"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content string")
+    got = code_clone_pairs(
+        df, "content", "id", k=8, w=4,
+        max_docs_per_fingerprint=50, min_shared=2, min_similarity=0.5,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+    r = got[0]
+    assert r["n_shared"] >= 2
+    assert r["similarity"] == r["n_shared"] / min(r["n_fp_a"], r["n_fp_b"])
+    assert r["similarity"] >= 0.5
+    # raising the similarity floor above the pair's score drops it
+    floor = min(1.0, r["similarity"] + 1e-9)
+    if r["similarity"] < 1.0:
+        none = code_clone_pairs(
+            df, "content", "id", k=8, w=4,
+            max_docs_per_fingerprint=50, min_shared=2, min_similarity=floor,
+        ).collect()
+        assert none == []
