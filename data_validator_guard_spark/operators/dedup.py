@@ -919,20 +919,40 @@ def winnow_fingerprints(
     Fingerprint density is ~2/(w+1) of gram count, so the emitted table is
     a small multiple of the corpus row count — the downstream shuffle key
     (the fingerprint) is md5-uniform.
+
+    Each expensive intermediate (the normalized string, then the gram-hash
+    array) is BOUND ONCE per row by passing it through a 1-element-array
+    lambda variable: higher-order-function lambda variables are
+    materialized values, so the window selection slices a computed array
+    instead of re-deriving it. A naive nested expression re-evaluates the
+    gram array (n_grams md5 calls) inside EVERY window slice and the
+    regexp normalization inside EVERY gram — O(len²) regexp+md5 work per
+    document, which turned a seconds-scan into a minutes-stall at 10×
+    rows; Catalyst's subexpression elimination does not reach across
+    lambda bodies, so the binding is load-bearing, not style.
     """
     s = F.lower(F.regexp_replace(F.col(text_col), r"\s+", ""))
     n_grams = F.length(s) - F.lit(k) + 1
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.md5(s.substr(i, F.lit(k))),
-    )
-    n_windows = F.greatest(n_grams - F.lit(w) + 1, F.lit(1))
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice(grams, j, w)),
+
+    def _grams(sv):
+        return F.transform(
+            F.sequence(F.lit(1), F.length(sv) - F.lit(k) + 1),
+            lambda i: F.md5(sv.substr(i, F.lit(k))),
         )
-    )
+
+    def _select_windows(gv):
+        n_windows = F.greatest(F.size(gv) - F.lit(w) + 1, F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda j: F.array_min(F.slice(gv, j, w)),
+            )
+        )
+
+    fps = F.transform(
+        F.array(s),
+        lambda sv: F.transform(F.array(_grams(sv)), _select_windows)[0],
+    )[0]
     return (
         df.filter(F.col(text_col).isNotNull())
         .filter(n_grams >= 1)
@@ -963,9 +983,16 @@ def code_clone_pairs(
     like ``repo_containment``'s hot-hash cap. The winnowing guarantee
     makes recall structural: any shared normalized substring of
     ``k + w - 1`` chars or more yields a shared fingerprint.
+
+    The fingerprint frame is persisted (it feeds the hot-cap window, both
+    sides of the pair self-join, and the per-doc size agg — three
+    consumers of the corpus's one expensive scan); release it with
+    ``unpersist_intermediates()`` like the other near-dup operators.
     """
-    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w).select(
-        F.col(id_col).alias("__doc"), "fingerprint"
+    fp = _track_persist(
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w).select(
+            F.col(id_col).alias("__doc"), "fingerprint"
+        )
     )
     out = _containment_pairs(
         fp, "__doc", "fingerprint",
