@@ -74,3 +74,77 @@ def ngram_contamination(
         )
         .filter(F.col("n_shared_ngrams") >= min_overlap)
     )
+
+
+def fuzzy_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Eval documents NEAR-duplicating any train document (the fuzzy third
+    strength, between ``exact_contamination`` and raw n-gram overlap):
+    ``eval_id, train_id, jaccard`` for every cross-corpus pair with exact
+    Jaccard >= ``threshold`` — the MinHash decontamination pass frontier
+    training pipelines run so a lightly-edited eval document (reformatted,
+    suffixed, translated boilerplate) cannot hide from the verbatim check.
+
+    Cross-corpus LSH, reusing the dedup machinery end to end: sign both
+    sides (k MinHashes over word n-gram shingles), band, cap degenerate
+    buckets over the COMBINED band population (same semantics as
+    ``incremental_near_duplicates``), and generate candidates from
+    eval-band x train-band collisions ONLY — train x train and eval x eval
+    pairs are never formed, so candidate work is proportional to genuine
+    cross-corpus collisions, not either corpus squared. Verification is
+    exact Jaccard over shingles semi-joined down to candidate ids before
+    the intersection join. Contract (as for the incremental miner): ids
+    must be disjoint across the two sides.
+    """
+    from data_validator_guard_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        _band_table,
+        _cap_buckets,
+        _track_persist,
+        jaccard_verify,
+        minhash_signature,
+    )
+
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
+    t_sig = _track_persist(minhash_signature(train, text_col, id_col, k, n))
+    e_sig = _track_persist(minhash_signature(eval_df, text_col, id_col, k, n))
+    banded = (
+        _band_table(e_sig, k, bands)
+        .withColumn("is_eval", F.lit(True))
+        .unionByName(_band_table(t_sig, k, bands).withColumn("is_eval", F.lit(False)))
+    )
+    banded = _track_persist(_cap_buckets(banded, ["band", "val"], max_bucket))
+    e = banded.filter(F.col("is_eval")).alias("e")
+    t = banded.filter(~F.col("is_eval")).alias("t")
+    pairs = (
+        e.join(
+            t,
+            (F.col("e.band") == F.col("t.band")) & (F.col("e.val") == F.col("t.val")),
+        )
+        .select(F.col("e.id").alias("id1"), F.col("t.id").alias("id2"))
+        .distinct()
+    )
+    pairs = _track_persist(pairs)
+    cand_ids = (
+        pairs.select(F.col("id1").alias("id"))
+        .unionByName(pairs.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    shingles = (
+        shingle_table(eval_df, text_col, id_col, n)
+        .unionByName(shingle_table(train, text_col, id_col, n))
+        .join(cand_ids, "id", "left_semi")
+    )
+    return jaccard_verify(pairs, shingles, threshold).select(
+        F.col("id1").alias("eval_id"), F.col("id2").alias("train_id"), "jaccard"
+    )

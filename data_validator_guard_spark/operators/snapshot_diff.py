@@ -360,3 +360,92 @@ def incremental_validate(
         max_partitions=max_partitions,
     )
     return verdicts
+
+
+def row_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Row-level snapshot diff: which KEYS changed between snapshots, not
+    just which partitions — the change-data-capture view a validation
+    ledger records next to the partition fingerprints (Iceberg/Delta expose
+    the same thing as a changelog; here it is derived from any two
+    snapshots, no table-format support required).
+
+    Output: ``*key_cols, change, n_old, n_new`` with change one of
+    ``added`` (key only in the new snapshot), ``deleted`` (only in the
+    old), ``changed`` (present in both but any compare field — or the key's
+    row multiplicity — differs). Unchanged keys are dropped, so the result
+    is change-sized, not corpus-sized.
+
+    Multiset-aware by construction: each side aggregates per key the exact
+    row count plus the two order-insensitive 48-bit md5-half sums of
+    :func:`_row_image` over ``compare_cols`` (the
+    :func:`partition_fingerprints` arithmetic at key granularity), so
+    duplicate keys are compared as multisets and any insert / delete /
+    update / duplicate-count change flips the key's fingerprint. Fields are
+    canonicalized (timestamps → epoch micros, binary → hex) and per-field
+    hashed, inheriting the injection-proof, session-config-free image.
+
+    Scale shape: one hash aggregation per side keyed by the key IMAGE (the
+    same per-field md5 construction as the compare image, over ``key_cols``
+    — at 10^12 rows that key is (repo, path, commit), exactly the
+    uniqueness key), then a full-outer join of the two aggregates ON that
+    image. Joining on the grouping key itself — not a derived null-safe
+    condition — means both sides leave their aggregation hash-partitioned
+    on the join key, so the join adds NO third exchange (a ``<=>`` join
+    would repartition both sides on ``(coalesce(k), isnull(k))``;
+    plan-asserted in tests). NULL-safety comes for free: a NULL key
+    component is a tagged byte in the image, so it matches itself rather
+    than splitting one logical key into a spurious added+deleted pair.
+    Key columns ride along via ``min`` (every row in a group shares them,
+    the image being injective modulo md5 collisions — the module-level
+    collision note applies), which also makes them orderable-typed by
+    contract.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if not compare_cols:
+        raise ValueError("compare_cols must be non-empty")
+    overlap = set(key_cols) & {"n_old", "n_new", "change", "__key"}
+    if overlap:
+        raise ValueError(f"key_cols collide with output columns: {sorted(overlap)}")
+
+    def _side(df: DataFrame, n_alias: str, lo_alias: str, hi_alias: str) -> DataFrame:
+        img = _row_image(df, compare_cols)
+        lo = F.conv(F.substring(img, 1, 12), 16, 10).cast("bigint").cast("decimal(38,0)")
+        hi = F.conv(F.substring(img, 13, 12), 16, 10).cast("bigint").cast("decimal(38,0)")
+        return df.groupBy(_row_image(df, key_cols).alias("__key")).agg(
+            *[F.min(F.col(c)).alias(c) for c in key_cols],
+            F.count(F.lit(1)).alias(n_alias),
+            F.sum(lo).alias(lo_alias),
+            F.sum(hi).alias(hi_alias),
+        )
+
+    o = _side(old, "n_old", "o_lo", "o_hi").alias("o")
+    n = _side(new, "n_new", "n_lo", "n_hi").alias("n")
+    j = o.join(n, F.col("o.__key") == F.col("n.__key"), "full_outer")
+    change = (
+        F.when(F.col("n_old").isNull(), F.lit("added"))
+        .when(F.col("n_new").isNull(), F.lit("deleted"))
+        .when(
+            (F.col("n_old") != F.col("n_new"))
+            | (F.col("o_lo") != F.col("n_lo"))
+            | (F.col("o_hi") != F.col("n_hi")),
+            F.lit("changed"),
+        )
+    )
+    keys = [
+        F.coalesce(F.col(f"o.{c}"), F.col(f"n.{c}")).alias(c) for c in key_cols
+    ]
+    return (
+        j.select(
+            *keys,
+            change.alias("change"),
+            F.coalesce(F.col("n_old"), F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .filter(F.col("change").isNotNull())
+    )

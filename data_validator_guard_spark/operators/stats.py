@@ -538,3 +538,129 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch: the mergeable approximate-QUANTILE companion to
+# the HLL cardinality partials (partial_column_stats) and the count-min
+# frequency grid (cms_partial) above — completing the sketch trio a
+# 10^12-row validation ledger stores per snapshot. The sketch is a
+# deterministic uniform sample: the k rows with the smallest md5 priority
+# per partition (bottom-k priority sampling; Cohen & Kaplan 2007). Because
+# "k smallest of a union" == "k smallest of each side's k smallest", merging
+# stored sketches is bit-identical to building one sketch over the unioned
+# data — pinned by test — so quantile questions over any partition subset
+# are answered from k rows per partition, never a rescan. A k-sample
+# estimates any quantile within O(1/sqrt(k)) rank error w.h.p.; partitions
+# with fewer than k rows are sampled whole, so their quantiles are EXACT.
+# Priorities are the house md5 kit — bit-identical in any engine, so the
+# sample (and every estimate) is oracle-exact, unlike an RNG reservoir.
+# ---------------------------------------------------------------------------
+def _qsk_priority(id_col: Column) -> Column:
+    return F.md5(F.concat(F.lit("qsk:"), id_col.cast("string")))
+
+
+def quantile_sketch_partial(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    partition_by: str = "'__all__'",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Per-partition bottom-k sample of ``value_col``: ``partition,
+    priority, value`` with <= k rows per partition.
+
+    Selection is the two-phase exact bottom-k of ``stratified_sample_n``
+    (never a single-task hot-partition sort): phase 1 keeps each
+    (partition, salt) group's k smallest priorities — Spark's
+    WindowGroupLimit bounds what the shuffle carries — phase 2 ranks the
+    <= n_salts*k survivors per partition. Rows with NULL value or NULL id
+    carry no rank identity and are excluded (the non-NULL-id contract every
+    hash-keyed operator here shares); ids must be distinct — a duplicated
+    id would duplicate a priority (value is the formal tiebreak)."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if n_salts <= 0:
+        raise ValueError(f"n_salts must be positive, got {n_salts}")
+    part = F.expr(partition_by).cast("string").alias("partition")
+    narrow = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        part,
+        _qsk_priority(F.col(id_col)).alias("priority"),
+        F.col(value_col).alias("value"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("__salt"),
+    )
+    w1 = Window.partitionBy("partition", "__salt").orderBy(
+        F.col("priority").asc(), F.col("value").asc()
+    )
+    cands = (
+        narrow.withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk", "__salt")
+    )
+    w2 = Window.partitionBy("partition").orderBy(
+        F.col("priority").asc(), F.col("value").asc()
+    )
+    return (
+        cands.withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def quantile_sketch_merge(partials: DataFrame, k: int) -> DataFrame:
+    """Merge bottom-k partials: the k smallest priorities per partition of
+    the union — bit-identical to a partial built over the unioned data
+    (pinned by test). Inputs are sketch-sized (<= k rows per partition per
+    partial), so the single window here sorts n_partials*k rows per
+    partition, never data."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy("partition").orderBy(
+        F.col("priority").asc(), F.col("value").asc()
+    )
+    return (
+        partials.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def quantile_sketch_quantiles(sketch: DataFrame, qs: Sequence[float]) -> DataFrame:
+    """Type-1 quantile estimates from a (merged) sketch: ``partition, q,
+    est, m`` — est is the sample value at rank ``max(ceil(q*m), 1)``, m the
+    sample size. All work is sketch-sized; the per-partition window sorts
+    <= k rows. For partitions smaller than k the sample is the whole
+    partition, so est is the EXACT type-1 quantile."""
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile out of [0, 1]: {q}")
+    m = sketch.groupBy("partition").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.partitionBy("partition").orderBy(
+        F.col("value").asc(), F.col("priority").asc()
+    )
+    ranked = (
+        sketch.withColumn("r", F.row_number().over(w))
+        .join(m, "partition")
+        .select(
+            "partition",
+            "value",
+            "r",
+            "m",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+    )
+    target = F.greatest(F.ceil(F.col("q") * F.col("m")), F.lit(1).cast("bigint"))
+    return ranked.filter(F.col("r") == target).select(
+        "partition", "q", F.col("value").alias("est"), "m"
+    )

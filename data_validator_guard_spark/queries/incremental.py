@@ -418,3 +418,81 @@ def q_incremental_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         suite,
         fingerprint_cols=["doc_id", "text", "lang", "source", "n_chars"],
     )
+
+
+# =====================================================================
+# 28b. Row-level snapshot diff (round 5): the CDC companion to the
+#      partition-level fingerprint diff above — WHICH keys were added /
+#      deleted / changed between two snapshots, multiset-exact, derived
+#      from the snapshots themselves (no table-format changelog needed).
+#      Scenario: old = documents minus the en/%97 rows (those become
+#      'added'), with every %41 doc's text edited (those become
+#      'changed'), plus synthetic +500000 rows (those become 'deleted').
+# =====================================================================
+_RD_IMG = (
+    "md5("
+    + " || ".join(_inc_field(c) for c in ["text", "lang", "source", "n_chars"])
+    + ")"
+)
+
+_ROW_DIFF_ORACLE = f"""
+WITH old AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 41 = 0 THEN text || ' OLDVER' ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE NOT (lang = 'en' AND doc_id % 97 = 0)
+  UNION ALL
+  SELECT doc_id + 500000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 53 = 0
+),
+new AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+oagg AS (
+  SELECT doc_id, COUNT(*) AS n,
+         SUM({_hexn_sql(_RD_IMG, 1, 12)}) AS slo,
+         SUM({_hexn_sql(_RD_IMG, 13, 12)}) AS shi
+  FROM old GROUP BY doc_id
+),
+nagg AS (
+  SELECT doc_id, COUNT(*) AS n,
+         SUM({_hexn_sql(_RD_IMG, 1, 12)}) AS slo,
+         SUM({_hexn_sql(_RD_IMG, 13, 12)}) AS shi
+  FROM new GROUP BY doc_id
+),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'deleted'
+              WHEN o.n <> n.n OR o.slo <> n.slo OR o.shi <> n.shi THEN 'changed'
+         END AS change,
+         CAST(COALESCE(o.n, 0) AS BIGINT) AS n_old,
+         CAST(COALESCE(n.n, 0) AS BIGINT) AS n_new
+  FROM oagg o FULL OUTER JOIN nagg n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, change, n_old, n_new FROM j WHERE change IS NOT NULL
+"""
+
+
+@query("snapshot_row_diff", oracle=_ROW_DIFF_ORACLE)
+def q_snapshot_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which doc_ids changed between snapshots and how — `row_diff` over
+    (old, new) keyed by doc_id, fingerprinting (text, lang, source,
+    n_chars). One hash agg per side + a co-partitioned full-outer join;
+    the result is change-sized. The ledger stores this next to the
+    partition fingerprints so a daily run can name the rows it re-certified,
+    not just the partitions."""
+    from data_validator_guard_spark.operators.snapshot_diff import row_diff
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = read_table(spark, sf_dir, "documents").select(*cols)
+    base = docs.filter(~((F.col("lang") == "en") & (F.col("doc_id") % 97 == 0)))
+    old_mod = base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 41 == 0, F.concat(F.col("text"), F.lit(" OLDVER"))
+        ).otherwise(F.col("text")),
+    )
+    extra = docs.filter(F.col("doc_id") % 53 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    old = old_mod.select(*cols).unionByName(extra)
+    return row_diff(old, docs, ["doc_id"], ["text", "lang", "source", "n_chars"])

@@ -581,3 +581,116 @@ def q_zorder_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", zorder_key(cx, cy, bits=8).alias("zkey")
     )
+
+
+# =====================================================================
+# 55b. Fuzzy (MinHash) decontamination (round 5): the third strength
+#      between the exact-fingerprint and raw n-gram checks — eval docs
+#      NEAR-duplicating any train doc survive light edits that defeat
+#      the verbatim check. Eval = the test hash split + verbatim plants
+#      (%97, jaccard 1.0) + suffix-perturbed plants (%89 — the genuinely
+#      fuzzy catches). The oracle replays the whole cross-corpus LSH
+#      pipeline (shingle → 8 minhashes → 4 bands → eval x train candidate
+#      join → exact Jaccard >= 0.7) in DuckDB list expressions.
+# =====================================================================
+_FUZZY_CTE = f"""
+WITH b AS (
+  SELECT doc_id, text, {_SPLIT_BUCKET_SQL} AS bucket FROM documents
+),
+train AS (SELECT doc_id, text FROM b WHERE bucket < 80),
+eval_docs AS (
+  SELECT doc_id, text FROM b WHERE bucket >= 90
+  UNION ALL
+  SELECT doc_id + 200000, text FROM train WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT doc_id + 300000, text || ' extra suffix tokens appended here'
+  FROM train WHERE doc_id % 89 = 0
+)
+"""
+
+_FUZZY_ORACLE = (
+    _FUZZY_CTE
+    + r""",
+tw AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS w FROM train),
+ew AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS w FROM eval_docs),
+tsh AS (
+  SELECT DISTINCT id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM tw
+),
+esh AS (
+  SELECT DISTINCT id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM ew
+),
+tsig AS (
+  SELECT id,
+         min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+         min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+         min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+         min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+  FROM tsh GROUP BY id
+),
+esig AS (
+  SELECT id,
+         min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+         min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+         min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+         min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+  FROM esh GROUP BY id
+),
+tbands AS (
+  SELECT id, 0 AS band, mh0 || '#' || mh1 AS val FROM tsig
+  UNION ALL SELECT id, 1, mh2 || '#' || mh3 FROM tsig
+  UNION ALL SELECT id, 2, mh4 || '#' || mh5 FROM tsig
+  UNION ALL SELECT id, 3, mh6 || '#' || mh7 FROM tsig
+),
+ebands AS (
+  SELECT id, 0 AS band, mh0 || '#' || mh1 AS val FROM esig
+  UNION ALL SELECT id, 1, mh2 || '#' || mh3 FROM esig
+  UNION ALL SELECT id, 2, mh4 || '#' || mh5 FROM esig
+  UNION ALL SELECT id, 3, mh6 || '#' || mh7 FROM esig
+),
+cand AS (
+  SELECT DISTINCT e.id AS eval_id, t.id AS train_id
+  FROM ebands e JOIN tbands t ON e.band = t.band AND e.val = t.val
+),
+tsizes AS (SELECT id, COUNT(*) AS sz FROM tsh GROUP BY id),
+esizes AS (SELECT id, COUNT(*) AS sz FROM esh GROUP BY id),
+inter AS (
+  SELECT c.eval_id, c.train_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN esh s1 ON s1.id = c.eval_id
+  JOIN tsh s2 ON s2.id = c.train_id AND s2.shingle = s1.shingle
+  GROUP BY c.eval_id, c.train_id
+)
+SELECT i.eval_id, i.train_id,
+       CAST(i.n_inter AS DOUBLE) / CAST(e.sz + t.sz - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN esizes e ON e.id = i.eval_id
+JOIN tsizes t ON t.id = i.train_id
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(e.sz + t.sz - i.n_inter AS DOUBLE) >= 0.7
+"""
+)
+
+
+@query("split_contamination_fuzzy", oracle=_FUZZY_ORACLE)
+def q_split_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash decontamination: eval docs near-duplicating any train doc at
+    exact Jaccard >= 0.7 via cross-corpus LSH (eval-band x train-band
+    candidates only — neither corpus is ever self-joined). Must find both
+    the verbatim plants (jaccard 1.0) and the suffix-perturbed ones the
+    exact check misses."""
+    from data_validator_guard_spark.operators.contamination import fuzzy_contamination
+
+    train, eval_docs = _spark_contam_frames(spark, sf_dir)
+    perturbed = train.filter(F.col("doc_id") % 89 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra suffix tokens appended here")).alias("text"),
+    )
+    eval_fuzzy = eval_docs.unionByName(perturbed)
+    return fuzzy_contamination(
+        train, eval_fuzzy, "text", "doc_id", k=8, bands=4, n=3, threshold=0.7
+    )

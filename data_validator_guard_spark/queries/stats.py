@@ -400,3 +400,62 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
     )
     return est.join(exact, ["user_id"]).select("user_id", "est", "exact_n")
+
+
+# =====================================================================
+# 25. Mergeable bottom-k quantile sketch (round 5): the quantile member
+#     of the stored-sketch trio (HLL cardinality, count-min frequency,
+#     bottom-k quantiles). The query models the production flow end to
+#     end: per-snapshot partials built over two disjoint corpus halves,
+#     merged, then quantile-estimated — the oracle replays the bottom-k
+#     over the WHOLE table, so a PASS proves merge == full build exactly.
+# =====================================================================
+_QSK_ORACLE = """
+WITH pr AS (
+  SELECT CAST(lang AS VARCHAR) AS p,
+         md5('qsk:' || CAST(doc_id AS VARCHAR)) AS pri,
+         CAST(n_chars AS BIGINT) AS v
+  FROM documents
+  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+),
+rk AS (
+  SELECT p, pri, v, row_number() OVER (PARTITION BY p ORDER BY pri, v) AS r
+  FROM pr
+),
+samp AS (SELECT p, pri, v FROM rk WHERE r <= 32),
+m AS (SELECT p, COUNT(*) AS m FROM samp GROUP BY p),
+sv AS (
+  SELECT s.p, s.v,
+         row_number() OVER (PARTITION BY s.p ORDER BY s.v, s.pri) AS r,
+         m.m
+  FROM samp s JOIN m ON m.p = s.p
+),
+qs AS (SELECT * FROM (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)), (CAST(0.75 AS DOUBLE))) AS t(q))
+SELECT sv.p AS "partition", qs.q, sv.v AS est, sv.m
+FROM sv JOIN qs ON sv.r = GREATEST(CAST(ceil(qs.q * sv.m) AS BIGINT), 1)
+"""
+
+
+@query("quantile_sketch_doclen", oracle=_QSK_ORACLE)
+def q_quantile_sketch_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang n_chars quartiles from a k=32 bottom-k sketch, built the
+    incremental way: one partial per corpus half (split by doc_id parity —
+    two 'snapshots'), merged, estimated. The oracle computes the bottom-32
+    sample over the un-split table, so equality IS the merge-parity proof
+    at registry level (the pytest pins it frame-wise too)."""
+    from data_validator_guard_spark.operators.stats import (
+        quantile_sketch_merge,
+        quantile_sketch_partial,
+        quantile_sketch_quantiles,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    partials = [
+        quantile_sketch_partial(h, "n_chars", "doc_id", k=32, partition_by="lang")
+        for h in halves
+    ]
+    merged = quantile_sketch_merge(partials[0].unionByName(partials[1]), k=32)
+    return quantile_sketch_quantiles(merged, [0.25, 0.5, 0.75])

@@ -2418,3 +2418,104 @@ def test_code_clone_pairs_gates(spark):
             max_docs_per_fingerprint=50, min_shared=2, min_similarity=floor,
         ).collect()
         assert none == []
+
+
+def test_quantile_sketch_merge_parity_and_exactness(spark):
+    """Bottom-k sketch contract: (1) merging per-half partials is
+    bit-identical to one partial over the union; (2) a partition smaller
+    than k is sampled whole, so its quantile estimates are the EXACT
+    type-1 quantiles; (3) guards fail loud."""
+    from data_validator_guard_spark.operators.stats import (
+        quantile_sketch_merge,
+        quantile_sketch_partial,
+        quantile_sketch_quantiles,
+    )
+
+    rows = [(i, "g" if i % 3 else "h", (i * 37) % 101) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, v bigint")
+    k = 16
+    full = quantile_sketch_partial(df, "v", "id", k=k, partition_by="grp")
+    halves = [df.filter(F.col("id") % 2 == i) for i in (0, 1)]
+    partials = [
+        quantile_sketch_partial(h, "v", "id", k=k, partition_by="grp") for h in halves
+    ]
+    merged = quantile_sketch_merge(partials[0].unionByName(partials[1]), k=k)
+    key = lambda r: (r["partition"], r.priority, r.value)  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
+
+    # exactness below k: 10 values in one partition, k=16 -> sample == data
+    small = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([5, 1, 9, 3, 7, 2, 8, 4, 6, 10])],
+        "id bigint, v bigint",
+    )
+    sk = quantile_sketch_partial(small, "v", "id", k=16)
+    est = {
+        r.q: r.est for r in quantile_sketch_quantiles(sk, [0.25, 0.5, 1.0]).collect()
+    }
+    # type-1 quantiles of 1..10: ceil(0.25*10)=3rd, ceil(0.5*10)=5th, 10th
+    assert est == {0.25: 3, 0.5: 5, 1.0: 10}
+
+    with pytest.raises(ValueError):
+        quantile_sketch_partial(small, "v", "id", k=0)
+    with pytest.raises(ValueError):
+        quantile_sketch_quantiles(sk, [1.5])
+
+
+def test_row_diff_multiset_and_nullsafe_keys(spark):
+    """row_diff pins: duplicate keys compare as multisets (a multiplicity
+    change alone is 'changed'), NULL keys match null-safely (never a
+    spurious added+deleted pair), unchanged keys are dropped, and empty
+    specs fail loud."""
+    from data_validator_guard_spark.operators.snapshot_diff import row_diff
+
+    schema = "k string, payload string"
+    old = spark.createDataFrame(
+        [("a", "x"), ("dup", "p"), ("dup", "p"), ("gone", "z"), (None, "nv")],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [("a", "x"), ("dup", "p"), ("fresh", "q"), (None, "nv2")],
+        schema,
+    )
+    out = {r.k: (r.change, r.n_old, r.n_new) for r in row_diff(old, new, ["k"], ["payload"]).collect()}
+    assert out["dup"] == ("changed", 2, 1)  # multiplicity-only change
+    assert out["gone"] == ("deleted", 1, 0)
+    assert out["fresh"] == ("added", 0, 1)
+    assert out[None] == ("changed", 1, 1)  # null-safe key match, payload edit
+    assert "a" not in out  # unchanged keys dropped
+
+    with pytest.raises(ValueError):
+        row_diff(old, new, [], ["payload"])
+    with pytest.raises(ValueError):
+        row_diff(old, new, ["k"], [])
+    with pytest.raises(ValueError):
+        row_diff(old, new, ["change"], ["payload"])
+
+
+def test_fuzzy_contamination_cross_corpus_only(spark):
+    """fuzzy_contamination pins: the perturbed eval copy of a train doc is
+    caught (the case the exact check misses), a verbatim copy scores
+    jaccard 1.0, and NO within-corpus pair is ever emitted even when both
+    corpora contain internal near-dups."""
+    from data_validator_guard_spark.operators.contamination import fuzzy_contamination
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    train = spark.createDataFrame(
+        [(1, base), (2, base + " train internal dup")],  # internal train near-dup
+        "doc_id bigint, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [
+            (101, base),                      # verbatim leak of 1
+            (102, base + " eval suffix"),     # fuzzy leak
+            (103, base + " eval suffix two"), # internal eval near-dup of 102
+            (104, "totally unrelated words nothing shared here at all today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = fuzzy_contamination(train, eval_df, "text", "doc_id", threshold=0.6).collect()
+    pairs = {(r.eval_id, r.train_id): r.jaccard for r in out}
+    assert all(e >= 100 and t < 100 for e, t in pairs)  # cross-corpus only
+    assert pairs[(101, 1)] == 1.0
+    assert (102, 1) in pairs  # the fuzzy catch
+    assert all(e != 104 for e, _ in pairs)

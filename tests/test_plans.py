@@ -269,3 +269,32 @@ def test_stratified_sample_has_no_full_stratum_window_sort(spark):
     # and Spark inserts WindowGroupLimit above/below the exchange, so even
     # the shuffle carries at most n rows per (stratum, salt) group
     assert "WindowGroupLimit" in s
+
+
+def test_row_diff_join_adds_no_third_exchange(spark):
+    """row_diff's scale contract: one hash-agg shuffle per side and NOTHING
+    else — the full-outer join runs on the aggregation key itself (the
+    ``__key`` image), so both sides arrive at the join already partitioned
+    on it. A ``<=>`` join condition would repartition both sides on
+    ``(coalesce(k), isnull(k))``, adding two more exchanges; the control
+    below pins that this is what the rekey buys."""
+    from data_validator_guard_spark.operators.snapshot_diff import row_diff
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    out = row_diff(old, docs, ["doc_id"], ["text", "lang"])
+    assert plans.shuffle_exchange_count(out) == 2, plans.plan_string(out, "simple")
+    assert "FullOuter" in plans.plan_string(out, "simple")
+
+    # control: the same two aggregates joined null-safely on the raw key
+    # need 4 exchanges (each side re-shuffled onto the derived condition)
+    o = old.groupBy(F.md5(F.col("doc_id").cast("string")).alias("__key")).agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_old")
+    )
+    n = docs.groupBy(F.md5(F.col("doc_id").cast("string")).alias("__key")).agg(
+        F.min("doc_id").alias("doc_id2"), F.count(F.lit(1)).alias("n_new")
+    )
+    ctl = o.join(n, o["doc_id"].eqNullSafe(n["doc_id2"]), "full_outer")
+    assert plans.shuffle_exchange_count(ctl) == 4, plans.plan_string(ctl, "simple")
