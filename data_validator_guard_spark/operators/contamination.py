@@ -140,7 +140,12 @@ def fuzzy_contamination(
         .unionByName(pairs.select(F.col("id2").alias("id")))
         .distinct()
     )
-    shingles = (
+    # jaccard_verify reads the shingle frame from several subplans (sizes,
+    # both join sides); persist the candidate-pruned frame once or each
+    # reference re-explodes BOTH corpora into n-grams (the minhash_near_
+    # duplicates persist rationale — verified by plan audit: 248 static
+    # scans without this persist, 10 with).
+    shingles = _track_persist(
         shingle_table(eval_df, text_col, id_col, n)
         .unionByName(shingle_table(train, text_col, id_col, n))
         .join(cand_ids, "id", "left_semi")
