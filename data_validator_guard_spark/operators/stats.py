@@ -664,3 +664,192 @@ def quantile_sketch_quantiles(sketch: DataFrame, qs: Sequence[float]) -> DataFra
     return ranked.filter(F.col("r") == target).select(
         "partition", "q", F.col("value").alias("est"), "m"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership sketch: the approximate-MEMBERSHIP member of the stored-
+# sketch family (HLL cardinality, count-min frequency, bottom-k quantiles,
+# Bloom membership). A validation ledger stores one filter per snapshot and
+# answers "was this key ever validated / is this fingerprint in the train
+# corpus?" from a counter-sized structure — no join against the corpus. The
+# filter is represented RELATIONALLY as its set of set-bit positions
+# (partition, pos): semantically identical to the bit-array form (which is a
+# physical encoding of the same set), mergeable by distinct union, and bounded
+# by min(m, d * n_keys) rows per partition. Bit positions come from the house
+# md5 kit (first-12-hex-nibbles -> BIGINT, mod m), so the filter — and every
+# probe verdict — is bit-identical in any engine: no-false-negatives is a
+# THEOREM here (a stored key's positions are all present by construction),
+# and the false-positive rate is the standard (1 - e^(-d*n/m))^d.
+# ---------------------------------------------------------------------------
+def _bloom_pos(key: Column, i: int, m: int) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"blm{i}:"), key.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    return h % F.lit(m)
+
+
+def bloom_partial(
+    df: DataFrame,
+    key_col: str,
+    m: int = 65536,
+    d: int = 3,
+    partition_by: str = "'__all__'",
+) -> DataFrame:
+    """Per-partition Bloom filter over ``key_col``: distinct set-bit rows
+    ``partition, pos``. NULL keys carry no identity and are excluded (the
+    shared non-NULL-id contract). One projection + one distinct — the
+    aggregation key (partition, pos) is md5-uniform, so the shuffle is
+    skew-free even over a hot partition."""
+    if m <= 0:
+        raise ValueError(f"m must be positive, got {m}")
+    if d <= 0:
+        raise ValueError(f"d must be positive, got {d}")
+    part = F.expr(partition_by).cast("string").alias("partition")
+    key = F.col(key_col)
+    rows = df.filter(key.isNotNull()).select(
+        part, F.explode(F.array(*[_bloom_pos(key, i, m) for i in range(d)])).alias("pos")
+    )
+    return rows.distinct()
+
+
+def bloom_merge(partials: DataFrame) -> DataFrame:
+    """Merge stored filters: distinct union of set-bit rows — bit-identical
+    to a filter built over the unioned data (OR of bit arrays), pinned by
+    test."""
+    return partials.distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m: int = 65536,
+    d: int = 3,
+) -> DataFrame:
+    """Probe a (merged) filter: ``key_col, maybe_present`` — True iff every
+    one of the key's d bit positions is set. Stored keys are always True
+    (no false negatives, by construction); absent keys are True only on a
+    full d-way collision. The filter side is sketch-sized; the join is an
+    inner join on ``pos`` followed by a count-distinct-positions comparison
+    per key (a key's d hashes may collide with each other, so the bar is
+    its DISTINCT position count, not d)."""
+    if m <= 0:
+        raise ValueError(f"m must be positive, got {m}")
+    if d <= 0:
+        raise ValueError(f"d must be positive, got {d}")
+    key = F.col(key_col)
+    ppos = (
+        probes.filter(key.isNotNull())
+        .select(
+            key.alias(key_col),
+            F.explode(
+                F.array(*[_bloom_pos(key, i, m) for i in range(d)])
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    need = ppos.groupBy(key_col).agg(F.count(F.lit(1)).alias("__need"))
+    found = (
+        ppos.join(bloom.select("pos").distinct(), "pos")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__found"))
+    )
+    return (
+        need.join(found, key_col, "left")
+        .select(
+            key_col,
+            (F.coalesce(F.col("__found"), F.lit(0)) == F.col("__need")).alias(
+                "maybe_present"
+            ),
+        )
+    )
+
+
+def correlation_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+    partition_by: str = "'__all__'",
+) -> DataFrame:
+    """Pairwise Pearson correlation for every pair of integer-valued columns
+    in ONE aggregation pass: ``partition, col_x, col_y, n, corr`` — the
+    "which feature columns are redundant?" profiling question (the FD
+    profile's numeric sibling). Each pair uses pairwise deletion (rows where
+    both sides are non-NULL) with its own exact decimal(38,0) sums
+    (n, sx, sy, sxy, sx2, sy2); corr is assembled from those exact integers
+    with the minimal IEEE tail — two casts, one multiply, one sqrt, one
+    division — so both engines compute bit-identical doubles. Zero-variance
+    sides yield NULL corr, never a divide-by-zero.
+
+    Fractional column types are REJECTED at plan time (the
+    partition_outlier_report quantize-first contract): decimal(38,0) sums
+    would silently round them. Bounds: n * sum(x*y) must stay below 10^38 —
+    holds to 10^12 rows of 10^8-scale values with 10^2 headroom.
+
+    Scale shape: one groupBy(partition) aggregation over 6 * C(k,2)
+    conditional sums — Catalyst fuses them into a single partial+final hash
+    aggregate, one scan regardless of pair count; the output is
+    (partitions x pairs)-sized."""
+    if len(cols) < 2:
+        raise ValueError("correlation_profile needs at least 2 columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns: {sorted(cols)}")
+    for c in cols:
+        t = df.schema[c].dataType.simpleString()
+        if t not in ("tinyint", "smallint", "int", "bigint") and not (
+            t.startswith("decimal(") and t.endswith(",0)")
+        ):
+            raise ValueError(
+                f"correlation_profile: column {c} has non-integral type {t} — "
+                "quantize to a fixed integer grid first "
+                "(e.g. cast(round(v * 1e6) as bigint))"
+            )
+
+    def D(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    part = F.coalesce(F.expr(partition_by).cast("string"), F.lit("__null__"))
+    aggs = []
+    pairs = [
+        (cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))
+    ]
+    for cx, cy in pairs:
+        both = F.col(cx).isNotNull() & F.col(cy).isNotNull()
+        x = F.when(both, D(F.col(cx)))
+        y = F.when(both, D(F.col(cy)))
+        z = F.lit(0).cast("decimal(38,0)")
+        tag = f"{cx}__{cy}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).cast("decimal(38,0)").alias(f"n_{tag}"),
+            F.coalesce(F.sum(x), z).alias(f"sx_{tag}"),
+            F.coalesce(F.sum(y), z).alias(f"sy_{tag}"),
+            F.coalesce(F.sum(x * y), z).alias(f"sxy_{tag}"),
+            F.coalesce(F.sum(x * x), z).alias(f"sx2_{tag}"),
+            F.coalesce(F.sum(y * y), z).alias(f"sy2_{tag}"),
+        ]
+    wide = df.groupBy(part.alias("partition")).agg(*aggs)
+
+    out = None
+    for cx, cy in pairs:
+        tag = f"{cx}__{cy}"
+        n = F.col(f"n_{tag}")
+        sx, sy = F.col(f"sx_{tag}"), F.col(f"sy_{tag}")
+        sxy, sx2, sy2 = (F.col(f"s{k}_{tag}") for k in ("xy", "x2", "y2"))
+        num = (n * sxy - sx * sy).cast("decimal(38,0)")
+        d1 = (n * sx2 - sx * sx).cast("decimal(38,0)")
+        d2 = (n * sy2 - sy * sy).cast("decimal(38,0)")
+        corr = F.when(
+            (d1 > 0) & (d2 > 0),
+            num.cast("double")
+            / F.sqrt(d1.cast("double") * d2.cast("double")),
+        )
+        row = wide.select(
+            "partition",
+            F.lit(cx).alias("col_x"),
+            F.lit(cy).alias("col_y"),
+            n.cast("bigint").alias("n"),
+            corr.alias("corr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -459,3 +459,163 @@ def q_quantile_sketch_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     merged = quantile_sketch_merge(partials[0].unionByName(partials[1]), k=32)
     return quantile_sketch_quantiles(merged, [0.25, 0.5, 0.75])
+
+
+# =====================================================================
+# 26. Bloom membership sketch (round 5): the approximate-MEMBERSHIP
+#     member of the stored-sketch family (HLL cardinality, count-min
+#     frequency, bottom-k quantiles, Bloom membership). Built the
+#     incremental way (one partial per corpus half, merged), probed
+#     with every 11th doc_id (stored -> must be True: no false
+#     negatives) and the same ids shifted out of the corpus (absent ->
+#     True only on a full d-way collision, the measured FP rate). The
+#     oracle replays the md5 bit positions exactly, so the merged
+#     filter — and every probe verdict — is bit-identical.
+# =====================================================================
+def _bloom_pos_sql(key_expr: str, i: int, m: int) -> str:
+    from data_validator_guard_spark.queries.incremental import _hexn_sql
+
+    h = f"md5('blm{i}:' || CAST({key_expr} AS VARCHAR))"
+    return f"({_hexn_sql(h, 1, 12)} % {m})"
+
+
+_BLOOM_M, _BLOOM_D = 65536, 3
+
+_BLOOM_ORACLE = f"""
+WITH bits AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('doc_id', i, _BLOOM_M)} AS pos FROM documents WHERE doc_id IS NOT NULL" for i in range(_BLOOM_D))}
+  ) u
+),
+probes AS (
+  SELECT doc_id AS probe_id, TRUE AS actually_present
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, FALSE
+  FROM documents WHERE doc_id % 11 = 0
+),
+ppos AS (
+  SELECT DISTINCT probe_id, pos FROM (
+    {" UNION ALL ".join(f"SELECT probe_id, {_bloom_pos_sql('probe_id', i, _BLOOM_M)} AS pos FROM probes" for i in range(_BLOOM_D))}
+  ) u
+),
+verdict AS (
+  SELECT p.probe_id,
+         COUNT(*) = COUNT(b.pos) AS maybe_present
+  FROM ppos p LEFT JOIN bits b ON b.pos = p.pos
+  GROUP BY p.probe_id
+)
+SELECT v.probe_id, v.maybe_present, pr.actually_present
+FROM verdict v JOIN probes pr ON pr.probe_id = v.probe_id
+"""
+
+
+@query("bloom_membership_docs", oracle=_BLOOM_ORACLE)
+def q_bloom_membership_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership probes against a merged Bloom filter over doc_id (m=65536,
+    d=3, one partial per corpus half): stored keys always True (no false
+    negatives — a theorem under the relational bit-set form), absent keys
+    True only on a full 3-way collision. Filter work is one projection +
+    one md5-uniform distinct per partial; the probe is sketch-sized."""
+    from data_validator_guard_spark.operators.stats import (
+        bloom_merge,
+        bloom_partial,
+        bloom_probe,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    parts = [
+        bloom_partial(h, "doc_id", m=_BLOOM_M, d=_BLOOM_D) for h in halves
+    ]
+    bloom = bloom_merge(parts[0].unionByName(parts[1]))
+    hit = docs.filter(F.col("doc_id") % 11 == 0)
+    probes = (
+        hit.select(
+            F.col("doc_id").alias("probe_id"), F.lit(True).alias("actually_present")
+        )
+        .unionByName(
+            hit.select(
+                (F.col("doc_id") + 10000000).alias("probe_id"),
+                F.lit(False).alias("actually_present"),
+            )
+        )
+    )
+    verdicts = bloom_probe(bloom, probes, "probe_id", m=_BLOOM_M, d=_BLOOM_D)
+    return verdicts.join(probes, "probe_id").select(
+        "probe_id", "maybe_present", "actually_present"
+    )
+
+
+# =====================================================================
+# 27. Pairwise correlation profile (round 5): the numeric sibling of
+#     fd_profile — which feature columns are redundant, per lang, from
+#     ONE aggregation pass of exact decimal sums (the float tail is two
+#     casts, one multiply, one sqrt, one division — engine-identical).
+#     Columns: n_chars and two derived exact counts (spaces, lowercase
+#     letters), so the correlations are real structure, not plants.
+# =====================================================================
+_CORR_FIELDS = """
+  SELECT lang,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+         CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS n_lower
+  FROM documents
+"""
+
+
+def _corr_pair_sql(cx: str, cy: str) -> str:
+    both = f"{cx} IS NOT NULL AND {cy} IS NOT NULL"
+    return f"""
+SELECT lang AS "partition", '{cx}' AS col_x, '{cy}' AS col_y,
+       CAST(nn AS BIGINT) AS n,
+       CASE WHEN (nn * sx2 - sx * sx) > 0 AND (nn * sy2 - sy * sy) > 0 THEN
+         CAST(nn * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(nn * sx2 - sx * sx AS DOUBLE) * CAST(nn * sy2 - sy * sy AS DOUBLE))
+       END AS corr
+FROM (
+  SELECT lang,
+         CAST(COUNT(CASE WHEN {both} THEN 1 END) AS HUGEINT) AS nn,
+         COALESCE(SUM(CASE WHEN {both} THEN CAST({cx} AS HUGEINT) END), 0) AS sx,
+         COALESCE(SUM(CASE WHEN {both} THEN CAST({cy} AS HUGEINT) END), 0) AS sy,
+         COALESCE(SUM(CASE WHEN {both} THEN CAST({cx} AS HUGEINT) * CAST({cy} AS HUGEINT) END), 0) AS sxy,
+         COALESCE(SUM(CASE WHEN {both} THEN CAST({cx} AS HUGEINT) * CAST({cx} AS HUGEINT) END), 0) AS sx2,
+         COALESCE(SUM(CASE WHEN {both} THEN CAST({cy} AS HUGEINT) * CAST({cy} AS HUGEINT) END), 0) AS sy2
+  FROM f GROUP BY lang
+) t
+"""
+
+
+_CORR_ORACLE = (
+    f"WITH f AS ({_CORR_FIELDS})\n"
+    + "\nUNION ALL\n".join(
+        _corr_pair_sql(cx, cy)
+        for cx, cy in [
+            ("n_chars", "n_spaces"),
+            ("n_chars", "n_lower"),
+            ("n_spaces", "n_lower"),
+        ]
+    )
+)
+
+
+@query("corr_profile_docs", oracle=_CORR_ORACLE)
+def q_corr_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang Pearson correlations between n_chars, space count, and
+    lowercase-letter count — 3 pairs, 18 exact decimal sums, ONE scan."""
+    from data_validator_guard_spark.operators.stats import correlation_profile
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", "")))
+        .cast("bigint")
+        .alias("n_spaces"),
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), "[a-z]", "")))
+        .cast("bigint")
+        .alias("n_lower"),
+    )
+    return correlation_profile(
+        feats, ["n_chars", "n_spaces", "n_lower"], partition_by="lang"
+    )

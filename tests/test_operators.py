@@ -2519,3 +2519,90 @@ def test_fuzzy_contamination_cross_corpus_only(spark):
     assert pairs[(101, 1)] == 1.0
     assert (102, 1) in pairs  # the fuzzy catch
     assert all(e != 104 for e, _ in pairs)
+
+
+def test_bloom_filter_contract(spark):
+    """Bloom sketch pins: (1) no false negatives — every stored key probes
+    True; (2) merging per-half partials is bit-identical to one filter over
+    the union; (3) a forced full-collision false positive probes True and
+    a fresh-position key probes False; (4) NULL keys are excluded; (5)
+    guards fail loud."""
+    from data_validator_guard_spark.operators.stats import (
+        bloom_merge,
+        bloom_partial,
+        bloom_probe,
+    )
+
+    m, d = 4096, 3
+    df = spark.createDataFrame([(i,) for i in range(1, 301)], "k bigint")
+    full = bloom_partial(df, "k", m=m, d=d)
+    halves = [df.filter(F.col("k") % 2 == i) for i in (0, 1)]
+    merged = bloom_merge(
+        bloom_partial(halves[0], "k", m=m, d=d).unionByName(
+            bloom_partial(halves[1], "k", m=m, d=d)
+        )
+    )
+    key = lambda r: (r["partition"], r.pos)  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
+
+    # no false negatives: every stored key probes True
+    stored = bloom_probe(merged, df, "k", m=m, d=d).collect()
+    assert len(stored) == 300 and all(r.maybe_present for r in stored)
+
+    # tiny m=1: every position collides -> an absent key still probes True
+    tiny = bloom_partial(df, "k", m=1, d=d)
+    fp = bloom_probe(tiny, spark.createDataFrame([(999999,)], "k bigint"), "k", m=1, d=d)
+    assert fp.collect()[0].maybe_present is True
+
+    # NULL keys carry no identity on either side
+    withnull = spark.createDataFrame([(1,), (None,)], "k bigint")
+    assert bloom_partial(withnull, "k", m=m, d=d).count() <= d
+    assert bloom_probe(merged, withnull, "k", m=m, d=d).count() == 1
+
+    with pytest.raises(ValueError):
+        bloom_partial(df, "k", m=0)
+    with pytest.raises(ValueError):
+        bloom_probe(merged, df, "k", m=m, d=0)
+
+
+def test_correlation_profile_exact_and_guarded(spark):
+    """correlation_profile pins: exact +1/-1 on linear columns, the
+    hand-computed value on a known triple, NULL corr for a zero-variance
+    side, pairwise deletion (each pair uses only its both-non-null rows),
+    and the fractional-type / duplicate-column guards."""
+    from data_validator_guard_spark.operators.stats import correlation_profile
+
+    rows = [(1, 2, -1, 7), (2, 4, -2, 7), (3, 6, -3, 7), (4, 8, -4, 7)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint, z bigint, c bigint")
+    out = {
+        (r.col_x, r.col_y): (r.n, r.corr)
+        for r in correlation_profile(df, ["x", "y", "z", "c"]).collect()
+    }
+    assert out[("x", "y")] == (4, 1.0)
+    assert out[("x", "z")] == (4, -1.0)
+    assert out[("x", "c")][1] is None  # zero-variance side -> NULL
+
+    # hand-computed: x=[1,2,3], w=[1,3,2] -> corr = 1/2
+    df2 = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 2)], "x bigint, w bigint"
+    )
+    r = correlation_profile(df2, ["x", "w"]).collect()[0]
+    assert abs(r.corr - 0.5) < 1e-15
+
+    # pairwise deletion: a NULL in w drops the row for (x, w) only
+    df3 = spark.createDataFrame(
+        [(1, 1, 10), (2, None, 20), (3, 3, 30)],
+        "x bigint, w bigint, v bigint",
+    )
+    got = {
+        (r.col_x, r.col_y): r.n for r in correlation_profile(df3, ["x", "w", "v"]).collect()
+    }
+    assert got[("x", "w")] == 2 and got[("x", "v")] == 3
+
+    with pytest.raises(ValueError):
+        correlation_profile(df, ["x"])
+    with pytest.raises(ValueError):
+        correlation_profile(df, ["x", "x"])
+    dff = spark.createDataFrame([(1, 0.5)], "x bigint, f double")
+    with pytest.raises(ValueError):
+        correlation_profile(dff, ["x", "f"])
