@@ -853,3 +853,90 @@ def correlation_profile(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def robust_outlier_values(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Median/MAD outlier screen — the robust companion to the mean/std
+    z-score check (``value_outliers``): flags values with
+    ``|x - median| * k_den > k_num * MAD`` per group, entirely in exact
+    BIGINT arithmetic (medians are type-1 over the value-count histogram;
+    no float mean/std, no engine-dependent boundary). A mean/std screen is
+    itself dragged by the outliers it hunts; median/MAD is the standard
+    robust alternative (Leys et al. 2013). Rational thresholds are the
+    integer ratio ``k_num/k_den`` (e.g. the modified-z 3.5 x 1.4826·MAD
+    bar is 51891/10000), keeping the decision boundary exact.
+
+    Returns one row per distinct outlier VALUE: ``group_col, value, n,
+    med, mad`` — outlier-values-sized, never row-sized.
+
+    Scale shape: ONE scan aggregates to the (group, value) count histogram
+    (persisted — reused by the median pass, the deviation histogram, and
+    the verdict join); the deviation histogram is DERIVED from it by
+    arithmetic, not a rescan; every window runs over histogram rows
+    (|group| x |distinct values|), and the median/MAD frames are
+    group-sized broadcast joins. NULL values are excluded (no rank).
+    MAD = 0 (over half the group identical) flags ANY deviating value —
+    the correct degenerate reading of a zero robust spread.
+    """
+    from pyspark.sql import Window
+
+    if k_num <= 0 or k_den <= 0:
+        raise ValueError(f"k must be a positive ratio, got {k_num}/{k_den}")
+    hist = (
+        df.select(F.col(group_col), value.cast("bigint").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy(group_col, "__v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # reused by the median pass, the deviation histogram, and the verdict
+    # join — without the persist each reference re-runs the data scan
+    hist = hist.persist()
+
+    def _t1_median(h: DataFrame, key: str, alias: str) -> DataFrame:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(key)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = h.select(
+            F.col(group_col),
+            F.col(key),
+            F.sum("__n").over(w).alias("__cum"),
+            F.sum("__n").over(Window.partitionBy(group_col)).alias("__tot"),
+        )
+        target = F.floor((F.col("__tot") + 1) / 2)
+        return cum.groupBy(group_col).agg(
+            F.min(F.when(F.col("__cum") >= target, F.col(key))).alias(alias)
+        )
+
+    med = _t1_median(hist, "__v", "med")
+    dev = (
+        hist.join(F.broadcast(med), group_col)
+        .select(
+            F.col(group_col), F.abs(F.col("__v") - F.col("med")).alias("__d"), "__n"
+        )
+        .groupBy(group_col, "__d")
+        .agg(F.sum("__n").alias("__n"))
+    )
+    mad = _t1_median(dev, "__d", "mad")
+    return (
+        hist.join(F.broadcast(med), group_col)
+        .join(F.broadcast(mad), group_col)
+        .filter(
+            F.abs(F.col("__v") - F.col("med")) * F.lit(k_den)
+            > F.lit(k_num) * F.col("mad")
+        )
+        .select(
+            group_col,
+            F.col("__v").alias("value"),
+            F.col("__n").cast("bigint").alias("n"),
+            "med",
+            "mad",
+        )
+    )

@@ -619,3 +619,64 @@ def q_corr_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correlation_profile(
         feats, ["n_chars", "n_spaces", "n_lower"], partition_by="lang"
     )
+
+
+# =====================================================================
+# 28. Robust (median/MAD) outliers (round 5): the skew-resistant
+#     companion to the mean/std z-score screen above (a mean/std bar is
+#     dragged by the very outliers it hunts). Same quantized events
+#     value, same group key; medians are type-1 over the value-count
+#     histogram, so every number on the decision boundary is an exact
+#     BIGINT in both engines.
+# =====================================================================
+_ROBUST_ORACLE = """
+WITH q AS (
+  SELECT event_type AS g,
+         CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+hist AS (SELECT g, v, COUNT(*) AS n FROM q GROUP BY g, v),
+medc AS (
+  SELECT g, v,
+         SUM(n) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER (PARTITION BY g) AS tot
+  FROM hist
+),
+med AS (
+  SELECT g, MIN(CASE WHEN cum >= (tot + 1) // 2 THEN v END) AS med
+  FROM medc GROUP BY g
+),
+dev AS (
+  SELECT h.g, abs(h.v - m.med) AS d, SUM(h.n) AS n
+  FROM hist h JOIN med m ON m.g = h.g
+  GROUP BY h.g, abs(h.v - m.med)
+),
+madc AS (
+  SELECT g, d,
+         SUM(n) OVER (PARTITION BY g ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER (PARTITION BY g) AS tot
+  FROM dev
+),
+mad AS (
+  SELECT g, MIN(CASE WHEN cum >= (tot + 1) // 2 THEN d END) AS mad
+  FROM madc GROUP BY g
+)
+SELECT h.g AS event_type, h.v AS value, CAST(h.n AS BIGINT) AS n, m.med, a.mad
+FROM hist h JOIN med m ON m.g = h.g JOIN mad a ON a.g = h.g
+WHERE abs(h.v - m.med) > 3 * a.mad
+"""
+
+
+@query("robust_outliers", oracle=_ROBUST_ORACLE)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier values: |x - median| > 3 * MAD over
+    the x1000-quantized value — ONE data scan to the count histogram, the
+    deviation histogram derived from it arithmetically, medians from
+    histogram windows, verdicts by exact integer comparison."""
+    from data_validator_guard_spark.operators.stats import robust_outlier_values
+
+    events = read_table(spark, sf_dir, "events")
+    qv = F.floor(F.col("value").cast("double") * 1000 + F.lit(0.5)).cast("long")
+    return robust_outlier_values(events, "event_type", qv, k_num=3, k_den=1)

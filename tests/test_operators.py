@@ -2606,3 +2606,32 @@ def test_correlation_profile_exact_and_guarded(spark):
     dff = spark.createDataFrame([(1, 0.5)], "x bigint, f double")
     with pytest.raises(ValueError):
         correlation_profile(dff, ["x", "f"])
+
+
+def test_robust_outlier_values_exact_and_degenerate(spark):
+    """median/MAD pins: the hand-computed case (median 10, MAD 1 -> only
+    the 100 flags at 3x), the MAD=0 degenerate (over half identical ->
+    ANY deviating value flags), rational thresholds, NULL exclusion, and
+    the guard."""
+    from data_validator_guard_spark.operators.stats import robust_outlier_values
+
+    # g1: values 8,9,10,11,12,100 -> med 10, devs {0,1,1,2,2,90}, MAD 1
+    #     (type-1 median of [0,1,1,2,2,90] at rank ceil(6/2)=3 -> 1);
+    #     only 100 has |x-med| = 90 > 3
+    rows = [("g1", v) for v in [8, 9, 10, 11, 12, 100]]
+    # g2: 5,5,5,7 -> med 5, MAD 0 -> 7 flags despite tiny deviation
+    rows += [("g2", v) for v in [5, 5, 5, 7]]
+    rows += [("g3", None)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    out = {
+        (r.g, r.value): (r.n, r.med, r.mad)
+        for r in robust_outlier_values(df, "g", F.col("v")).collect()
+    }
+    assert out == {("g1", 100): (1, 10, 1), ("g2", 7): (1, 5, 0)}
+
+    # rational threshold 91/1 clears g1's 90 deviation; MAD=0 in g2 still flags
+    loose = robust_outlier_values(df, "g", F.col("v"), k_num=91, k_den=1)
+    assert {(r.g, r.value) for r in loose.collect()} == {("g2", 7)}
+
+    with pytest.raises(ValueError):
+        robust_outlier_values(df, "g", F.col("v"), k_num=0)
