@@ -830,7 +830,10 @@ def correlation_profile(
         ]
     wide = df.groupBy(part.alias("partition")).agg(*aggs)
 
-    out = None
+    # one exploded struct array, NOT a per-pair union of selects over
+    # `wide` — a union re-executes the aggregation (and the scan) once per
+    # pair; the explode keeps the plan at exactly one scan for any k
+    rows = []
     for cx, cy in pairs:
         tag = f"{cx}__{cy}"
         n = F.col(f"n_{tag}")
@@ -844,15 +847,17 @@ def correlation_profile(
             num.cast("double")
             / F.sqrt(d1.cast("double") * d2.cast("double")),
         )
-        row = wide.select(
-            "partition",
-            F.lit(cx).alias("col_x"),
-            F.lit(cy).alias("col_y"),
-            n.cast("bigint").alias("n"),
-            corr.alias("corr"),
+        rows.append(
+            F.struct(
+                F.lit(cx).alias("col_x"),
+                F.lit(cy).alias("col_y"),
+                n.cast("bigint").alias("n"),
+                corr.alias("corr"),
+            )
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    return wide.select(
+        "partition", F.explode(F.array(*rows)).alias("__p")
+    ).select("partition", "__p.col_x", "__p.col_y", "__p.n", "__p.corr")
 
 
 def robust_outlier_values(
