@@ -13,6 +13,8 @@ across engines for oracle comparison.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -583,4 +585,43 @@ def code_file_screen(
         (n_comment / n_lines).cast("double").alias("comment_line_frac"),
         gen.alias("is_generated"),
         keep.alias("keep"),
+    )
+
+
+def domain_screen(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    blocklist: Sequence[str],
+) -> DataFrame:
+    """URL/domain blocklist screen — the C4/RefinedWeb provenance gate
+    (Raffel et al. 2020 §2.2 ran a curated blocklist over Common Crawl;
+    RefinedWeb §3.1 the same): ``id_col, host, blocked`` per document.
+    ``host`` is the lowercased authority of the URL (scheme://HOST/...,
+    port/path/query stripped); ``blocked`` is True when the host equals a
+    blocklisted domain OR is a subdomain of one (suffix match on
+    ``.domain``) — exact-host lists miss ``cdn.bad.example``, naive
+    substring lists false-positive ``notbad.example``. NULL or
+    unparseable URLs yield NULL host and blocked=False (no provenance =
+    no verdict; route them to a not-null rule if absence should fail).
+
+    Pure per-row expression (one regexp_extract + an OR-chain of literal
+    comparisons — no regex per blocklist entry, RE2/Java-portable): fuses
+    into the scan, zero shuffles, and the blocklist travels as plan
+    literals (the broadcast-dim degenerate). Contract: blocklist entries
+    are lowercase bare domains, non-empty."""
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    for b in blocklist:
+        if not b or b != b.lower() or "/" in b or ":" in b:
+            raise ValueError(f"blocklist entries must be lowercase bare domains: {b!r}")
+    host = F.lower(F.regexp_extract(F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    host = F.when(host != "", host)  # unparseable -> NULL
+    blocked = F.lit(False)
+    for b in blocklist:
+        blocked = blocked | (host == b) | host.endswith("." + b)
+    return df.select(
+        F.col(id_col),
+        host.alias("host"),
+        F.coalesce(blocked, F.lit(False)).alias("blocked"),
     )

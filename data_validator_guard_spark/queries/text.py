@@ -554,3 +554,75 @@ def q_segment_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return remove_repeated_segments_within(planted, "text", "doc_id", sep="\n")
+
+
+# =====================================================================
+# 29. URL/domain blocklist screen (round 5): the C4/RefinedWeb
+#     provenance gate. URLs are planted deterministically (doc_id % 13
+#     buckets) to cover every decision branch: a subdomain of a blocked
+#     domain (suffix catch), an exact blocked host, the substring trap
+#     (notbad.example must NOT block), an uppercase host (lowercased
+#     first), an unparseable URL (NULL host, never blocked), and clean
+#     hosts. Pure per-row expression — fuses into the scan, zero
+#     shuffles; the blocklist is plan literals.
+# =====================================================================
+_URL_CASE = """
+CASE WHEN doc_id % 13 = 0 THEN 'https://cdn.bad.example/p/' || CAST(doc_id AS VARCHAR)
+     WHEN doc_id % 13 = 1 THEN 'https://spam.test/x'
+     WHEN doc_id % 13 = 2 THEN 'https://notbad.example/ok'
+     WHEN doc_id % 13 = 3 THEN 'ftp://BAD.EXAMPLE/y'
+     WHEN doc_id % 13 = 4 THEN 'no-scheme-garbage'
+     ELSE 'https://' || source || '.example/d/' || CAST(doc_id AS VARCHAR) END
+"""
+
+_URL_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, {_URL_CASE} AS url FROM documents WHERE doc_id IS NOT NULL
+),
+h AS (
+  SELECT doc_id,
+         CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) = ''
+              THEN NULL
+              ELSE lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) END AS host
+  FROM u
+)
+SELECT doc_id, host,
+       COALESCE(host = 'bad.example' OR host LIKE '%.bad.example'
+                OR host = 'spam.test' OR host LIKE '%.spam.test', FALSE) AS blocked
+FROM h
+"""
+
+
+@query("url_blocklist_screen", oracle=_URL_ORACLE)
+def q_url_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist verdicts over planted URLs: blocked iff the host
+    equals a blocklisted domain or is a subdomain of one."""
+    from data_validator_guard_spark.operators.text import domain_screen
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    url = (
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit("https://cdn.bad.example/p/"), F.col("doc_id").cast("string")),
+        )
+        .when(F.col("doc_id") % 13 == 1, F.lit("https://spam.test/x"))
+        .when(F.col("doc_id") % 13 == 2, F.lit("https://notbad.example/ok"))
+        .when(F.col("doc_id") % 13 == 3, F.lit("ftp://BAD.EXAMPLE/y"))
+        .when(F.col("doc_id") % 13 == 4, F.lit("no-scheme-garbage"))
+        .otherwise(
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example/d/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    return domain_screen(
+        docs.select("doc_id", url.alias("url")),
+        "url",
+        "doc_id",
+        ["bad.example", "spam.test"],
+    )

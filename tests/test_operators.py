@@ -2635,3 +2635,37 @@ def test_robust_outlier_values_exact_and_degenerate(spark):
 
     with pytest.raises(ValueError):
         robust_outlier_values(df, "g", F.col("v"), k_num=0)
+
+
+def test_domain_screen_suffix_exact_and_traps(spark):
+    """domain_screen pins: subdomain suffix catch, exact host catch,
+    case-insensitivity, the notbad.example substring trap (NOT blocked),
+    unparseable/NULL URLs (NULL host, never blocked), port stripping, and
+    the blocklist contract guards."""
+    from data_validator_guard_spark.operators.text import domain_screen
+
+    rows = [
+        (1, "https://cdn.bad.example/p"),   # subdomain -> blocked
+        (2, "https://bad.example/x"),        # exact -> blocked
+        (3, "https://notbad.example/ok"),    # substring trap -> NOT blocked
+        (4, "FTP://BAD.EXAMPLE:21/y"),       # case + port -> blocked
+        (5, "garbage-without-scheme"),       # unparseable -> NULL, False
+        (6, None),                           # NULL url -> NULL, False
+        (7, "https://fine.example/z"),       # clean
+    ]
+    df = spark.createDataFrame(rows, "id bigint, url string")
+    out = {r.id: (r.host, r.blocked) for r in domain_screen(df, "url", "id", ["bad.example"]).collect()}
+    assert out[1] == ("cdn.bad.example", True)
+    assert out[2] == ("bad.example", True)
+    assert out[3] == ("notbad.example", False)
+    assert out[4] == ("bad.example", True)
+    assert out[5] == (None, False)
+    assert out[6] == (None, False)
+    assert out[7] == ("fine.example", False)
+
+    with pytest.raises(ValueError):
+        domain_screen(df, "url", "id", [])
+    with pytest.raises(ValueError):
+        domain_screen(df, "url", "id", ["Bad.Example"])
+    with pytest.raises(ValueError):
+        domain_screen(df, "url", "id", ["bad.example/path"])
