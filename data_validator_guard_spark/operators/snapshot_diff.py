@@ -449,66 +449,3 @@ def row_diff(
         )
         .filter(F.col("change").isNotNull())
     )
-
-
-def verdict_regressions(old: DataFrame, new: DataFrame) -> DataFrame:
-    """Compare two validation-run verdict ledgers: ``rule_id, partition,
-    status, n_violations_old, n_violations_new`` — the "what changed since
-    yesterday's run" view a scheduled deployment alerts on (the reference's
-    clone-then-validate cycle stores exactly these frames per run,
-    `/root/reference/database/db.py:113-126`; this is the comparison
-    between two of them). Status: ``regressed`` (pass -> fail — the page),
-    ``fixed`` (fail -> pass), ``still_failing`` (fail -> fail, violation
-    deltas reported), ``new`` (rule/partition only in the new run),
-    ``removed`` (only in the old). Healthy-in-both rows are DROPPED, so
-    the output is transition-sized, not rules x partitions — at 10^4
-    rules x 10^5 partitions the alert frame stays alert-sized.
-
-    Inputs are verdict frames as produced by ``validate()`` (rule_id,
-    partition, pass, n_violations, ...extra columns ignored); NULL ``pass``
-    (a gated/skipped rule — see ``depends_on``) is treated as absent from
-    that run, because a skipped rule made no statement. One hash
-    aggregation per side is already done (the ledgers are verdict-sized);
-    this adds a single full-outer join keyed (rule_id, partition) — both
-    sides tiny relative to any corpus."""
-    need = {"rule_id", "partition", "pass", "n_violations"}
-    for side, df in (("old", old), ("new", new)):
-        missing = need - set(df.columns)
-        if missing:
-            raise ValueError(f"{side} ledger is missing columns: {sorted(missing)}")
-    o = (
-        old.filter(F.col("pass").isNotNull())
-        .select(
-            "rule_id",
-            "partition",
-            F.col("pass").alias("o_pass"),
-            F.col("n_violations").cast("bigint").alias("n_violations_old"),
-        )
-    )
-    n = (
-        new.filter(F.col("pass").isNotNull())
-        .select(
-            "rule_id",
-            "partition",
-            F.col("pass").alias("n_pass"),
-            F.col("n_violations").cast("bigint").alias("n_violations_new"),
-        )
-    )
-    j = o.join(n, ["rule_id", "partition"], "full_outer")
-    status = (
-        F.when(F.col("o_pass").isNull(), F.lit("new"))
-        .when(F.col("n_pass").isNull(), F.lit("removed"))
-        .when(F.col("o_pass") & ~F.col("n_pass"), F.lit("regressed"))
-        .when(~F.col("o_pass") & F.col("n_pass"), F.lit("fixed"))
-        .when(~F.col("o_pass") & ~F.col("n_pass"), F.lit("still_failing"))
-    )
-    return (
-        j.select(
-            "rule_id",
-            "partition",
-            status.alias("status"),
-            "n_violations_old",
-            "n_violations_new",
-        )
-        .filter(F.col("status").isNotNull())
-    )

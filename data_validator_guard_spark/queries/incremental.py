@@ -496,113 +496,3 @@ def q_snapshot_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = old_mod.select(*cols).unionByName(extra)
     return row_diff(old, docs, ["doc_id"], ["text", "lang", "source", "n_chars"])
-
-
-# =====================================================================
-# 28c. Verdict regression diff (round 5): compare two validation-run
-#      ledgers — the "what regressed since yesterday" alert view. The
-#      scenario plants every transition: the old snapshot (minus the
-#      %3 rows, with ' !!!!' appended to %41 texts) fails no_bang where
-#      the new run passes (fixed), has zero div3 rows where the new run
-#      has violating ones (regressed), both runs fail huge_docs
-#      (still_failing), both pass empty_text (dropped from the output),
-#      retired_rule exists only in the old ledger (removed) and
-#      added_rule only in the new (new).
-# =====================================================================
-_VR_RULES_CORE = [
-    ("no_bang", "contains(text, '!!!!')"),
-    ("div3_even", "doc_id % 3 = 0 AND n_chars % 2 = 0"),
-    ("huge_docs", "n_chars < 100000"),
-    ("empty_text", "n_chars < 0"),
-]
-
-
-def _vr_ledger_sql(src: str, rules: list[tuple[str, str]]) -> str:
-    return "\n  UNION ALL ".join(
-        f"SELECT '{rid}' AS rule_id, lang AS p, "
-        f"COUNT(CASE WHEN {cond} THEN 1 END) AS v FROM {src} GROUP BY lang"
-        for rid, cond in rules
-    )
-
-
-_VR_ORACLE = f"""
-WITH old AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 41 = 0 THEN text || ' !!!!' ELSE text END AS text,
-         lang, n_chars
-  FROM documents WHERE doc_id % 3 <> 0
-),
-new AS (SELECT doc_id, text, lang, n_chars FROM documents),
-ol AS (
-  {_vr_ledger_sql("old", _VR_RULES_CORE + [("retired_rule", "doc_id % 7 = 0")])}
-),
-nl AS (
-  {_vr_ledger_sql("new", _VR_RULES_CORE + [("added_rule", "doc_id % 11 = 0")])}
-),
-j AS (
-  SELECT COALESCE(o.rule_id, n.rule_id) AS rule_id,
-         COALESCE(o.p, n.p) AS p,
-         CASE WHEN o.v IS NULL THEN 'new'
-              WHEN n.v IS NULL THEN 'removed'
-              WHEN o.v = 0 AND n.v > 0 THEN 'regressed'
-              WHEN o.v > 0 AND n.v = 0 THEN 'fixed'
-              WHEN o.v > 0 AND n.v > 0 THEN 'still_failing'
-         END AS status,
-         CAST(o.v AS BIGINT) AS n_violations_old,
-         CAST(n.v AS BIGINT) AS n_violations_new
-  FROM ol o FULL OUTER JOIN nl n ON o.rule_id = n.rule_id AND o.p = n.p
-)
-SELECT rule_id, p AS "partition", status, n_violations_old, n_violations_new
-FROM j WHERE status IS NOT NULL
-"""
-
-
-@query("verdict_regressions", oracle=_VR_ORACLE)
-def q_verdict_regressions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transition-sized diff of two verdict ledgers via
-    `verdict_regressions`: regressed / fixed / still_failing / new /
-    removed per (rule_id, partition); healthy-in-both rows dropped."""
-    from data_validator_guard_spark.operators.snapshot_diff import (
-        verdict_regressions,
-    )
-
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "n_chars"
-    )
-    old_snap = docs.filter(F.col("doc_id") % 3 != 0).withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 41 == 0, F.concat(F.col("text"), F.lit(" !!!!"))
-        ).otherwise(F.col("text")),
-    )
-
-    def ledger(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
-        agg = df.groupBy(F.col("lang").alias("partition")).agg(
-            *[
-                F.count(F.when(F.expr(cond), F.lit(1)))
-                .cast("bigint")
-                .alias(rid)
-                for rid, cond in rules
-            ]
-        )
-        structs = [
-            F.struct(
-                F.lit(rid).alias("rule_id"),
-                (F.col(rid) == 0).alias("pass"),
-                F.col(rid).alias("n_violations"),
-            )
-            for rid, _ in rules
-        ]
-        return agg.select(
-            "partition", F.explode(F.array(*structs)).alias("__r")
-        ).select("__r.rule_id", "partition", "__r.pass", "__r.n_violations")
-
-    core = [
-        ("no_bang", "contains(text, '!!!!')"),
-        ("div3_even", "doc_id % 3 = 0 AND n_chars % 2 = 0"),
-        ("huge_docs", "n_chars < 100000"),
-        ("empty_text", "n_chars < 0"),
-    ]
-    old_led = ledger(old_snap, core + [("retired_rule", "doc_id % 7 = 0")])
-    new_led = ledger(docs, core + [("added_rule", "doc_id % 11 = 0")])
-    return verdict_regressions(old_led, new_led)

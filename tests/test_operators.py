@@ -2669,51 +2669,3 @@ def test_domain_screen_suffix_exact_and_traps(spark):
         domain_screen(df, "url", "id", ["Bad.Example"])
     with pytest.raises(ValueError):
         domain_screen(df, "url", "id", ["bad.example/path"])
-
-
-def test_verdict_regressions_transitions(spark):
-    """verdict_regressions pins all five transition labels, the dropped
-    healthy-in-both row, NULL-pass (gated/skipped) treated as absent, and
-    the ledger-shape guard."""
-    from data_validator_guard_spark.operators.snapshot_diff import (
-        verdict_regressions,
-    )
-
-    schema = "rule_id string, partition string, pass boolean, n_violations bigint"
-    old = spark.createDataFrame(
-        [
-            ("r_ok", "p1", True, 0),       # healthy both -> dropped
-            ("r_reg", "p1", True, 0),      # pass -> fail
-            ("r_fix", "p1", False, 5),     # fail -> pass
-            ("r_still", "p1", False, 3),   # fail -> fail
-            ("r_gone", "p1", False, 1),    # only in old
-            ("r_skip", "p1", None, None),  # gated in old -> 'new' in new run
-        ],
-        schema,
-    )
-    new = spark.createDataFrame(
-        [
-            ("r_ok", "p1", True, 0),
-            ("r_reg", "p1", False, 7),
-            ("r_fix", "p1", True, 0),
-            ("r_still", "p1", False, 2),
-            ("r_new", "p1", True, 0),
-            ("r_skip", "p1", True, 0),
-        ],
-        schema,
-    )
-    out = {
-        r.rule_id: (r.status, r.n_violations_old, r.n_violations_new)
-        for r in verdict_regressions(old, new).collect()
-    }
-    assert out == {
-        "r_reg": ("regressed", 0, 7),
-        "r_fix": ("fixed", 5, 0),
-        "r_still": ("still_failing", 3, 2),
-        "r_gone": ("removed", 1, None),
-        "r_new": ("new", None, 0),
-        "r_skip": ("new", None, 0),
-    }
-
-    with pytest.raises(ValueError):
-        verdict_regressions(old.drop("n_violations"), new)
