@@ -21,6 +21,16 @@ LANG_PATTERN = r"^[a-z]{2}$"
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # Registered names are FROZEN (the driver compares them across
+        # rounds): a second registration under an existing name would
+        # silently replace the original query and its oracle — exactly the
+        # drift this registry exists to prevent — so it fails at import.
+        if name in QUERIES:
+            raise ValueError(
+                f"query name already registered: {name!r} "
+                f"(existing: {QUERIES[name].__module__}.{QUERIES[name].__qualname__}) "
+                "— registry names are frozen; pick a new name"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

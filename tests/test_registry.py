@@ -348,3 +348,19 @@ def test_compact_refuses_source_as_destination(spark, tmp_path):
     spark.range(100).withColumn("v", F.col("id")).repartition(4).write.parquet(src)
     with pytest.raises(ValueError, match="must differ from the source"):
         compact_small_files(spark, src, src, target_bytes=1 << 40, sort_col="id")
+
+
+def test_duplicate_query_registration_fails_loud():
+    """Registry names are frozen: re-registering an existing name must
+    raise at import time (a silent replacement would swap a query and its
+    oracle out from under the cross-round driver comparison) and must NOT
+    disturb the original registration."""
+    from data_validator_guard_spark.queries._registry import query
+
+    existing = next(iter(QUERIES))
+    before = QUERIES[existing]
+    with pytest.raises(ValueError, match="already registered"):
+        @query(existing, oracle="SELECT 1 AS x")
+        def _clobber(spark, sf_dir):  # pragma: no cover
+            raise AssertionError("must never register")
+    assert QUERIES[existing] is before
